@@ -1,0 +1,268 @@
+"""Local client training as a pure, vmappable function.
+
+Parity target: ``LocalTrainer`` + ``FederatedTrainingConfig`` +
+``create_adaptive_config`` (src/shared/training.py). The reference's hot loop
+(``_train_epoch``, training.py:173-212) is a Python for-loop over torch
+DataLoader batches with per-batch host→device copies and ``.item()`` syncs;
+here one client's full local-training run (all epochs × steps) is a nested
+``lax.scan`` over a device-resident shard, and the *whole population* of
+clients runs as ``vmap(local_train)`` — one XLA program, zero host traffic.
+
+Key design points (SURVEY.md §7 hard parts):
+- **Fixed trip counts**: epochs/steps are static; early stopping inside the
+  local loop is replaced by fixed local epochs (as the reference's federated
+  path effectively does — FederatedTrainer passes no early stopping).
+- **Padded shards**: every client's shard is padded to a static length.
+  Per-epoch shuffles draw a permutation of the padded length and remap
+  out-of-range slots back into the valid region, so every batch is full of
+  real samples and BatchNorm statistics stay clean.
+- **Heterogeneous epochs** (capability adaptation, ref training.py:455-502):
+  all clients run ``max_epochs`` scans; a per-client ``epochs`` array masks
+  later epochs to no-ops, so LOW/MEDIUM/HIGH-power clients can coexist in one
+  vmapped program.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from fl_tpu.core import prng
+from fl_tpu.models.base import FLModel, Variables
+
+
+@dataclasses.dataclass(frozen=True)
+class FederatedTrainingConfig:
+    """Local-training hyperparameters
+    (ref: FederatedTrainingConfig, src/shared/training.py:406-453)."""
+
+    local_epochs: int = 5
+    batch_size: int = 32
+    learning_rate: float = 0.001
+    optimizer_type: str = "adam"  # adam | adamw | sgd (ref training.py:244-256)
+    validation_split: float = 0.1
+    early_stopping_patience: Optional[int] = None
+    save_checkpoints: bool = True
+    momentum: float = 0.9
+    weight_decay: float = 1e-4
+
+    def to_dict(self) -> Dict[str, Any]:
+        return dataclasses.asdict(self)
+
+    @classmethod
+    def from_dict(cls, d: Dict[str, Any]) -> "FederatedTrainingConfig":
+        return cls(**{k: v for k, v in d.items()
+                      if k in {f.name for f in dataclasses.fields(cls)}})
+
+
+def create_adaptive_config(capabilities: Dict[str, Any]) -> FederatedTrainingConfig:
+    """Capability→hyperparameter mapping, matching the reference table
+    (src/shared/training.py:455-502): HIGH→(10 epochs, batch 64),
+    MEDIUM→(5, 32), LOW→(3, 16, lr 5e-4); small datasets cap the batch,
+    large ones double it; low bandwidth adds local epochs."""
+    power = capabilities.get("compute_power", "medium")
+    power = getattr(power, "value", power)  # accept the enum
+    bandwidth = capabilities.get("network_bandwidth", 10)
+    samples = capabilities.get("available_samples", 1000)
+
+    if power == "high":
+        epochs, batch, lr = 10, 64, 0.001
+    elif power == "medium":
+        epochs, batch, lr = 5, 32, 0.001
+    else:
+        epochs, batch, lr = 3, 16, 0.0005
+
+    if samples < 500:
+        batch = min(batch, 16)
+    elif samples > 5000:
+        batch = min(batch * 2, 128)
+
+    if bandwidth < 5:
+        epochs = max(epochs + 2, 7)
+
+    return FederatedTrainingConfig(
+        local_epochs=epochs, batch_size=batch, learning_rate=lr,
+        optimizer_type="adam",
+    )
+
+
+def make_optimizer(cfg: FederatedTrainingConfig) -> optax.GradientTransformation:
+    """Optimizer factory (ref: _create_optimizer, src/shared/training.py:244-256)."""
+    if cfg.optimizer_type == "adam":
+        return optax.adam(cfg.learning_rate)
+    if cfg.optimizer_type == "adamw":
+        return optax.adamw(cfg.learning_rate, weight_decay=cfg.weight_decay)
+    if cfg.optimizer_type == "sgd":
+        return optax.sgd(cfg.learning_rate, momentum=cfg.momentum)
+    raise ValueError(f"Unknown optimizer: {cfg.optimizer_type}")
+
+
+def cross_entropy_loss(logits: jax.Array, labels: jax.Array) -> jax.Array:
+    """Mean softmax cross-entropy (ref uses nn.CrossEntropyLoss,
+    training.py:56)."""
+    return optax.softmax_cross_entropy_with_integer_labels(logits, labels).mean()
+
+
+def make_local_train_fn(
+    model: FLModel,
+    cfg: FederatedTrainingConfig,
+    samples_per_client: int,
+    mean: jnp.ndarray,
+    std: jnp.ndarray,
+    max_epochs: Optional[int] = None,
+    augment_fn: Optional[Callable] = None,
+    dp_sgd_fn: Optional[Callable] = None,
+) -> Callable:
+    """Build the single-client local-training function.
+
+    Returns ``local_train(variables, images_u8, labels, n_valid, epochs, rng)
+    -> (new_variables, metrics)`` where
+
+    - ``variables``: the client's model variables (broadcast global model)
+    - ``images_u8``: (N, H, W, C) uint8 shard (padded; HBM-resident)
+    - ``labels``: (N,) int32
+    - ``n_valid``: scalar int32 true sample count
+    - ``epochs``: scalar int32 ≤ max_epochs — per-client epoch budget
+    - ``rng``: per-client, per-round PRNG key
+
+    vmap this over the leading client axis of every argument to get the
+    whole-population trainer. ``dp_sgd_fn``, when given, transforms per-step
+    gradients (per-example clip + noise) — see fl_tpu.fl.privacy.
+    """
+    if max_epochs is None:
+        max_epochs = cfg.local_epochs
+    batch = cfg.batch_size
+    steps_per_epoch = max(1, samples_per_client // batch)
+    optimizer = make_optimizer(cfg)
+    mean = jnp.asarray(mean, jnp.float32)
+    std = jnp.asarray(std, jnp.float32)
+
+    def normalize(x_u8: jax.Array) -> jax.Array:
+        return (x_u8.astype(jnp.float32) / 255.0 - mean) / std
+
+    def loss_fn(params, extra_vars, xb, yb, dropout_key):
+        variables = {"params": params, **extra_vars}
+        logits, new_vars = model.apply(
+            variables, xb, train=True, dropout_rng=dropout_key
+        )
+        loss = cross_entropy_loss(logits, yb)
+        acc = (jnp.argmax(logits, -1) == yb).mean()
+        new_extra = {k: v for k, v in new_vars.items() if k != "params"}
+        return loss, (acc, new_extra)
+
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    def local_train(variables, images_u8, labels, n_valid, epochs, rng):
+        params = variables["params"]
+        extra0 = {k: v for k, v in variables.items() if k != "params"}
+        opt_state = optimizer.init(params)
+        shuffle_key = prng.stream_key(rng, prng.Stream.SHUFFLE)
+        dropout_key = prng.stream_key(rng, prng.Stream.DROPOUT)
+        augment_key = prng.stream_key(rng, prng.Stream.AUGMENT)
+        n = jnp.maximum(n_valid.astype(jnp.int32), 1)
+
+        def epoch_body(carry, epoch_idx):
+            params, extra, opt_state = carry
+            ekey = jax.random.fold_in(shuffle_key, epoch_idx)
+            perm = jax.random.permutation(ekey, samples_per_client)
+            # remap padded slots into the valid region (keeps batches dense)
+            perm = jnp.where(perm < n, perm, perm % n)
+            active = epoch_idx < epochs  # heterogeneous epoch budgets
+
+            def step_body(carry, step_idx):
+                params, extra, opt_state = carry
+                idx = jax.lax.dynamic_slice(perm, (step_idx * batch,), (batch,))
+                xb = normalize(jnp.take(images_u8, idx, axis=0))
+                yb = jnp.take(labels, idx, axis=0)
+                if augment_fn is not None:
+                    akey = jax.random.fold_in(
+                        augment_key, epoch_idx * steps_per_epoch + step_idx
+                    )
+                    xb = augment_fn(xb, akey)
+                dkey = jax.random.fold_in(
+                    dropout_key, epoch_idx * steps_per_epoch + step_idx
+                )
+                (loss, (acc, new_extra)), grads = grad_fn(
+                    params, extra, xb, yb, dkey
+                )
+                if dp_sgd_fn is not None:
+                    grads = dp_sgd_fn(
+                        grads, params, extra, xb, yb, dkey,
+                        jax.random.fold_in(
+                            prng.stream_key(rng, prng.Stream.DP_NOISE),
+                            epoch_idx * steps_per_epoch + step_idx,
+                        ),
+                    )
+                updates, new_opt = optimizer.update(grads, opt_state, params)
+                new_params = optax.apply_updates(params, updates)
+                # masked no-op for clients whose epoch budget is spent
+                params = jax.tree.map(
+                    lambda new, old: jnp.where(active, new, old),
+                    new_params, params)
+                extra = jax.tree.map(
+                    lambda new, old: jnp.where(active, new, old),
+                    new_extra, extra)
+                opt_state = jax.tree.map(
+                    lambda new, old: jnp.where(active, new, old),
+                    new_opt, opt_state)
+                return (params, extra, opt_state), (loss, acc)
+
+            (params, extra, opt_state), (losses, accs) = jax.lax.scan(
+                step_body, (params, extra, opt_state),
+                jnp.arange(steps_per_epoch),
+            )
+            return (params, extra, opt_state), (losses.mean(), accs.mean())
+
+        (params, extra, opt_state), (ep_loss, ep_acc) = jax.lax.scan(
+            epoch_body, (params, extra0, opt_state), jnp.arange(max_epochs)
+        )
+        # report metrics of the last *active* epoch
+        last = jnp.clip(epochs - 1, 0, max_epochs - 1)
+        metrics = {
+            "loss": ep_loss[last],
+            "accuracy": ep_acc[last],
+            "epochs_completed": epochs.astype(jnp.int32),
+            "samples_processed": (epochs * steps_per_epoch * batch).astype(jnp.int32),
+        }
+        return {"params": params, **extra}, metrics
+
+    return local_train
+
+
+def make_eval_fn(model: FLModel, batch_size: int = 512) -> Callable:
+    """Jitted full-dataset evaluation (ref: evaluate_model,
+    src/shared/training.py:307-360 — loss, accuracy, per-class accuracy)."""
+
+    @jax.jit
+    def eval_fn(variables: Variables, images: jax.Array, labels: jax.Array):
+        n = images.shape[0]
+        n_batches = max(1, n // batch_size)
+        usable = n_batches * batch_size
+        xs = images[:usable].reshape((n_batches, batch_size) + images.shape[1:])
+        ys = labels[:usable].reshape((n_batches, batch_size))
+
+        def body(carry, xy):
+            xb, yb = xy
+            logits, _ = model.apply(variables, xb, train=False)
+            loss = cross_entropy_loss(logits, yb)
+            pred = jnp.argmax(logits, -1)
+            correct = (pred == yb)
+            num_classes = logits.shape[-1]
+            onehot = jax.nn.one_hot(yb, num_classes)
+            per_class_correct = (correct[:, None] * onehot).sum(0)
+            per_class_total = onehot.sum(0)
+            return carry, (loss, correct.mean(), per_class_correct, per_class_total)
+
+        _, (losses, accs, pcc, pct) = jax.lax.scan(body, None, (xs, ys))
+        per_class = pcc.sum(0) / jnp.maximum(pct.sum(0), 1.0)
+        return {
+            "loss": losses.mean(),
+            "accuracy": accs.mean(),
+            "per_class_accuracy": per_class,
+        }
+
+    return eval_fn

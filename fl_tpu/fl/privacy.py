@@ -1,0 +1,484 @@
+"""Differential privacy: clipping, Gaussian mechanism, budget accounting.
+
+Parity target: src/shared/privacy.py. Two DP modes are provided, exactly as
+SURVEY.md §7 requires:
+
+1. **Reference ("delta-clipping") mode** — what the reference actually does
+   (privacy.py:284-311 + federated_trainer.py:428-469): the client computes
+   Δ = θ_local − θ_global, clips Δ's *global* L2 norm to C, then adds
+   Gaussian noise with sensitivity = the clipped norm itself:
+   σ = min(‖Δ‖, C)·√(2·ln(1.25/δ))/ε (privacy.py:209), consuming (ε, δ)
+   additively from the budget per operation. Implemented bit-for-bit
+   formula-compatible so round-for-round fidelity holds.
+
+2. **Per-example DP-SGD mode** — the principled mechanism the reference's
+   docs gesture at (opacus in requirements but unused): per-example gradient
+   clipping to C inside every SGD step, then Gaussian noise with
+   σ = noise_multiplier·C/B on the mean gradient. This is the north-star
+   config #3 path; its fused Pallas kernel lives in fl_tpu.ops.dp.
+
+Both modes run on-device and vmap over the client axis. Host-side classes
+(:class:`DifferentialPrivacyEngine`, :class:`PrivacyBudgetTracker`,
+:class:`PrivacyAccountant`) mirror the reference API for the services layer.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import math
+import time
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from fl_tpu.core import prng
+from fl_tpu.core import pytree as pt
+from fl_tpu.core.types import PrivacyConfig
+
+logger = logging.getLogger(__name__)
+
+
+class PrivacyError(Exception):
+    """ref: PrivacyError, src/shared/privacy.py:20-22."""
+
+
+# ---------------------------------------------------------------------------
+# The math (shared by host + device paths)
+# ---------------------------------------------------------------------------
+
+def gaussian_sigma(sensitivity: float, epsilon: float, delta: float):
+    """Gaussian-mechanism noise scale σ = s·√(2·ln(1.25/δ))/ε
+    (ref: src/shared/privacy.py:209). Works on floats and traced scalars."""
+    return sensitivity * math.sqrt(2.0 * math.log(1.25 / delta)) / epsilon
+
+
+def validate_privacy_parameters(epsilon: float, delta: float) -> bool:
+    """ref: validate_privacy_parameters, privacy.py:335-356."""
+    if epsilon <= 0:
+        logger.error("Epsilon must be positive")
+        return False
+    if epsilon > 10.0:
+        logger.warning("Epsilon %s is very high, privacy may be weak", epsilon)
+    if delta <= 0 or delta >= 1:
+        logger.error("Delta must be in (0, 1)")
+        return False
+    if delta > 1e-3:
+        logger.warning("Delta %s is high, privacy may be weak", delta)
+    return True
+
+
+def advanced_composition_epsilon(epsilon: float, delta: float, steps: int) -> float:
+    """Simplified advanced-composition estimate
+    ε' = ε·√(2·k·ln(1/δ)) + k·ε·(e^ε − 1)
+    (ref: calculate_privacy_budget, privacy.py:319-333)."""
+    if steps <= 1:
+        return epsilon
+    eps = epsilon * math.sqrt(2.0 * steps * math.log(1.0 / delta))
+    eps += steps * epsilon * (math.exp(epsilon) - 1.0)
+    return eps
+
+
+# ---------------------------------------------------------------------------
+# Device path — reference (delta-clipping) mode
+# ---------------------------------------------------------------------------
+
+def clip_and_noise_tree(
+    tree: Any,
+    key: jax.Array,
+    epsilon: float,
+    delta: float,
+    max_norm: float,
+) -> Tuple[Any, jax.Array, jax.Array]:
+    """Reference-mode DP on a weight-delta pytree (one client).
+
+    clip global L2 norm to ``max_norm`` → σ from the *clipped* norm
+    (privacy.py:296-301) → i.i.d. Gaussian noise on every element.
+    Returns (noisy_tree, clipped_norm, sigma). vmap over clients with
+    per-client keys for the population version.
+    """
+    clipped, sens = pt.clip_by_global_norm(tree, max_norm)
+    sigma = sens * (math.sqrt(2.0 * math.log(1.25 / delta)) / epsilon)
+    leaves, treedef = jax.tree.flatten(clipped)
+    keys = jax.random.split(key, len(leaves))
+    noisy = [
+        leaf + sigma * jax.random.normal(k, leaf.shape, jnp.float32).astype(leaf.dtype)
+        for leaf, k in zip(leaves, keys)
+    ]
+    return jax.tree.unflatten(treedef, noisy), sens, sigma
+
+
+def dp_noise_client_deltas(
+    stacked_deltas: Any,
+    round_keys: jax.Array,
+    epsilon: float,
+    delta: float,
+    max_norm: float,
+) -> Tuple[Any, jax.Array, jax.Array]:
+    """Population version: vmapped reference-mode DP over stacked client
+    deltas (leading axis C). Each client gets an independent noise stream
+    derived from its (round, client) key folded with the DP_NOISE tag."""
+
+    def one(delta_tree, ckey):
+        nkey = prng.stream_key(ckey, prng.Stream.DP_NOISE)
+        return clip_and_noise_tree(delta_tree, nkey, epsilon, delta, max_norm)
+
+    return jax.vmap(one)(stacked_deltas, round_keys)
+
+
+# ---------------------------------------------------------------------------
+# Device path — per-example DP-SGD mode
+# ---------------------------------------------------------------------------
+
+def make_dp_sgd_grad_fn(
+    loss_fn: Callable,
+    max_grad_norm: float,
+    noise_multiplier: float,
+) -> Callable:
+    """Build a per-example-clipped, noised gradient function for DP-SGD.
+
+    ``loss_fn(params, extra_vars, xb, yb, dropout_key) -> (loss, aux)`` is the
+    same loss used for plain training. The returned function computes
+    per-example gradients (vmap over the batch), clips each example's global
+    grad norm to C, averages, and adds N(0, (z·C/B)²) noise.
+
+    XLA note: the per-example grad is a vmapped vjp — on TPU this batches
+    into the same MXU ops as the plain gradient, costing roughly one extra
+    backward-pass activation footprint, which is the canonical TPU DP-SGD
+    recipe. The fused clip+noise on the flat vector is the Pallas kernel in
+    fl_tpu.ops.dp (used when available; this jnp version is the portable
+    reference implementation).
+    """
+
+    def per_example_grads(params, extra, xb, yb, dkey):
+        def one(x, y):
+            g = jax.grad(
+                lambda p: loss_fn(p, extra, x[None], y[None], dkey)[0]
+            )(params)
+            return g
+
+        return jax.vmap(one)(xb, yb)
+
+    def dp_grad(params, extra, xb, yb, dkey, noise_key):
+        batch = xb.shape[0]
+        grads = per_example_grads(params, extra, xb, yb, dkey)  # leaves (B, ...)
+        # per-example global norms
+        sq = [jnp.sum(jnp.square(g.reshape(batch, -1)), axis=1)
+              for g in jax.tree.leaves(grads)]
+        norms = jnp.sqrt(jnp.sum(jnp.stack(sq), axis=0))
+        scale = jnp.minimum(1.0, max_grad_norm / jnp.maximum(norms, 1e-12))
+        clipped = jax.tree.map(
+            lambda g: g * scale.reshape((batch,) + (1,) * (g.ndim - 1)), grads
+        )
+        mean_grad = jax.tree.map(lambda g: g.mean(0), clipped)
+        sigma = noise_multiplier * max_grad_norm / batch
+        leaves, treedef = jax.tree.flatten(mean_grad)
+        keys = jax.random.split(noise_key, len(leaves))
+        noisy = [
+            g + sigma * jax.random.normal(k, g.shape, g.dtype)
+            for g, k in zip(leaves, keys)
+        ]
+        return jax.tree.unflatten(treedef, noisy)
+
+    return dp_grad
+
+
+# ---------------------------------------------------------------------------
+# Host-side budget tracking + engine (ref API surface)
+# ---------------------------------------------------------------------------
+
+class PrivacyBudgetTracker:
+    """Additive (ε, δ) budget ledger
+    (ref: PrivacyBudgetTracker, src/shared/privacy.py:25-92)."""
+
+    def __init__(self, initial_epsilon: float, initial_delta: float):
+        self.initial_epsilon = initial_epsilon
+        self.initial_delta = initial_delta
+        self.consumed_epsilon = 0.0
+        self.consumed_delta = 0.0
+        self.consumption_history: List[Dict[str, Any]] = []
+        self.start_time = time.time()
+
+    def consume_budget(self, epsilon: float, delta: float,
+                       operation: str = "training") -> None:
+        self.consumed_epsilon += epsilon
+        self.consumed_delta += delta
+        self.consumption_history.append({
+            "timestamp": time.time(),
+            "epsilon": epsilon,
+            "delta": delta,
+            "operation": operation,
+            "total_epsilon": self.consumed_epsilon,
+            "total_delta": self.consumed_delta,
+        })
+
+    def get_remaining_budget(self) -> Tuple[float, float]:
+        return (
+            max(0.0, self.initial_epsilon - self.consumed_epsilon),
+            max(0.0, self.initial_delta - self.consumed_delta),
+        )
+
+    def is_budget_exhausted(self, required_epsilon: float = 0.0,
+                            required_delta: float = 0.0) -> bool:
+        # small relative tolerance so k rounds of budget/k sum cleanly
+        # despite float accumulation
+        rem_e, rem_d = self.get_remaining_budget()
+        tol_e = 1e-9 * max(self.initial_epsilon, 1.0)
+        tol_d = 1e-9 * max(self.initial_delta, 1e-12)
+        return rem_e < required_epsilon - tol_e or rem_d < required_delta - tol_d
+
+    def get_budget_status(self) -> Dict[str, Any]:
+        rem_e, rem_d = self.get_remaining_budget()
+        return {
+            "initial_epsilon": self.initial_epsilon,
+            "initial_delta": self.initial_delta,
+            "consumed_epsilon": self.consumed_epsilon,
+            "consumed_delta": self.consumed_delta,
+            "remaining_epsilon": rem_e,
+            "remaining_delta": rem_d,
+            "epsilon_utilization": (
+                self.consumed_epsilon / self.initial_epsilon
+                if self.initial_epsilon else 0.0
+            ),
+            "delta_utilization": (
+                self.consumed_delta / self.initial_delta
+                if self.initial_delta else 0.0
+            ),
+            "operations_count": len(self.consumption_history),
+            "tracking_duration": time.time() - self.start_time,
+        }
+
+    # state for checkpoint/resume (orbax stores this dict)
+    def state_dict(self) -> Dict[str, Any]:
+        return {
+            "initial_epsilon": self.initial_epsilon,
+            "initial_delta": self.initial_delta,
+            "consumed_epsilon": self.consumed_epsilon,
+            "consumed_delta": self.consumed_delta,
+        }
+
+    def load_state_dict(self, state: Dict[str, Any]) -> None:
+        self.initial_epsilon = state["initial_epsilon"]
+        self.initial_delta = state["initial_delta"]
+        self.consumed_epsilon = state["consumed_epsilon"]
+        self.consumed_delta = state["consumed_delta"]
+
+
+class GradientClipper:
+    """Host facade over the device clip (ref: GradientClipper,
+    privacy.py:95-168)."""
+
+    def __init__(self, max_grad_norm: float):
+        self.max_grad_norm = max_grad_norm
+
+    def clip_gradients(self, gradients: Any) -> Tuple[Any, float]:
+        tree = jax.tree.map(jnp.asarray, dict(gradients))
+        clipped, sens = pt.clip_by_global_norm(tree, self.max_grad_norm)
+        return clipped, float(sens)
+
+    def estimate_sensitivity(self, gradients_batch: List[Any]) -> float:
+        """Max global norm across a batch of gradient dicts
+        (ref: privacy.py:146-168)."""
+        if not gradients_batch:
+            return 0.0
+        return max(
+            float(pt.global_norm(jax.tree.map(jnp.asarray, dict(g))))
+            for g in gradients_batch
+        )
+
+
+class GaussianNoiseGenerator:
+    """Gaussian-mechanism noise (ref: GaussianNoiseGenerator,
+    privacy.py:171-254), keyed by an explicit PRNG key instead of global
+    torch RNG state."""
+
+    def __init__(self, key: Optional[jax.Array] = None):
+        self._key = key if key is not None else jax.random.PRNGKey(0)
+
+    def _next_key(self) -> jax.Array:
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    def generate_noise(self, shape, sensitivity: float, epsilon: float,
+                       delta: float) -> jax.Array:
+        if epsilon <= 0:
+            raise PrivacyError("Epsilon must be positive")
+        if delta <= 0 or delta >= 1:
+            raise PrivacyError("Delta must be in (0, 1)")
+        sigma = gaussian_sigma(sensitivity, epsilon, delta)
+        return sigma * jax.random.normal(self._next_key(), shape, jnp.float32)
+
+    def add_noise_to_gradients(self, gradients: Any, sensitivity: float,
+                               epsilon: float, delta: float) -> Any:
+        tree = jax.tree.map(jnp.asarray, dict(gradients))
+        sigma = gaussian_sigma(sensitivity, epsilon, delta)
+        leaves, treedef = jax.tree.flatten(tree)
+        keys = jax.random.split(self._next_key(), len(leaves))
+        noisy_leaves = [
+            leaf + sigma * jax.random.normal(k, leaf.shape, jnp.float32).astype(leaf.dtype)
+            for leaf, k in zip(leaves, keys)
+        ]
+        return jax.tree.unflatten(treedef, noisy_leaves)
+
+
+class DifferentialPrivacyEngine:
+    """Host DP engine mirroring the reference
+    (ref: DifferentialPrivacyEngine, privacy.py:257-416): validate →
+    budget-check → clip → noise with sensitivity = clipped norm → consume."""
+
+    def __init__(self, privacy_config: PrivacyConfig,
+                 key: Optional[jax.Array] = None):
+        self.config = privacy_config
+        self.clipper = GradientClipper(privacy_config.max_grad_norm)
+        self.noise_generator = GaussianNoiseGenerator(key)
+        self.budget_tracker = PrivacyBudgetTracker(
+            privacy_config.epsilon, privacy_config.delta
+        )
+
+    def add_noise(self, gradients: Any, epsilon: float, delta: float) -> Any:
+        if not validate_privacy_parameters(epsilon, delta):
+            raise PrivacyError("Invalid privacy parameters")
+        if self.budget_tracker.is_budget_exhausted(epsilon, delta):
+            raise PrivacyError("Privacy budget exhausted")
+        clipped, actual_norm = self.clipper.clip_gradients(gradients)
+        noisy = self.noise_generator.add_noise_to_gradients(
+            clipped, actual_norm, epsilon, delta
+        )
+        self.budget_tracker.consume_budget(epsilon, delta, "gradient_noise")
+        return noisy
+
+    def clip_gradients(self, gradients: Any, max_norm: float) -> Any:
+        clipped, _ = GradientClipper(max_norm).clip_gradients(gradients)
+        return clipped
+
+    def calculate_privacy_budget(self, epsilon: float, delta: float,
+                                 steps: int) -> float:
+        return advanced_composition_epsilon(epsilon, delta, steps)
+
+    def validate_privacy_parameters(self, epsilon: float, delta: float) -> bool:
+        return validate_privacy_parameters(epsilon, delta)
+
+    def get_privacy_analysis(self) -> Dict[str, Any]:
+        """ref: get_privacy_analysis, privacy.py:358-402."""
+        strength_order = ["strong", "moderate", "weak"]
+        eps_strength = ("strong" if self.config.epsilon < 1.0
+                        else "moderate" if self.config.epsilon < 5.0 else "weak")
+        delta_strength = ("strong" if self.config.delta < 1e-5
+                          else "moderate" if self.config.delta < 1e-3 else "weak")
+        recommendations = []
+        if self.config.epsilon > 5.0:
+            recommendations.append("Consider reducing epsilon for stronger privacy")
+        if self.config.delta > 1e-3:
+            recommendations.append("Consider reducing delta for better privacy guarantees")
+        if self.config.max_grad_norm > 10.0:
+            recommendations.append("Consider reducing gradient clipping norm")
+        rem_e, _ = self.budget_tracker.get_remaining_budget()
+        if rem_e < self.config.epsilon * 0.1:
+            recommendations.append("Privacy budget nearly exhausted")
+        if not recommendations:
+            recommendations.append("Privacy configuration looks good")
+        return {
+            "privacy_config": {
+                "epsilon": self.config.epsilon,
+                "delta": self.config.delta,
+                "max_grad_norm": self.config.max_grad_norm,
+                "noise_multiplier": self.config.noise_multiplier,
+            },
+            "budget_status": self.budget_tracker.get_budget_status(),
+            "privacy_strength": {
+                "epsilon_strength": eps_strength,
+                "delta_strength": delta_strength,
+                "overall_strength": max(
+                    eps_strength, delta_strength, key=strength_order.index
+                ),
+            },
+            "recommendations": recommendations,
+        }
+
+    def reset_budget(self, new_epsilon: Optional[float] = None,
+                     new_delta: Optional[float] = None) -> None:
+        epsilon = new_epsilon or self.config.epsilon
+        delta = new_delta or self.config.delta
+        self.budget_tracker = PrivacyBudgetTracker(epsilon, delta)
+        if new_epsilon:
+            self.config.epsilon = new_epsilon
+        if new_delta:
+            self.config.delta = new_delta
+
+
+class PrivacyAccountant:
+    """Mechanism ledger with additive composition
+    (ref: PrivacyAccountant, privacy.py:419-484)."""
+
+    def __init__(self):
+        self.privacy_ledger: List[Dict[str, Any]] = []
+        self.total_epsilon = 0.0
+        self.total_delta = 0.0
+
+    def add_mechanism(self, mechanism_type: str, epsilon: float, delta: float,
+                      sensitivity: float, noise_scale: float,
+                      metadata: Optional[Dict[str, Any]] = None) -> None:
+        self.privacy_ledger.append({
+            "timestamp": time.time(),
+            "mechanism_type": mechanism_type,
+            "epsilon": epsilon,
+            "delta": delta,
+            "sensitivity": sensitivity,
+            "noise_scale": noise_scale,
+            "metadata": metadata or {},
+        })
+        self.total_epsilon += epsilon
+        self.total_delta += delta
+
+    def get_total_privacy_cost(self) -> Tuple[float, float]:
+        return self.total_epsilon, self.total_delta
+
+    def get_privacy_ledger(self) -> List[Dict[str, Any]]:
+        return list(self.privacy_ledger)
+
+    def export_ledger(self, filepath: str) -> None:
+        with open(filepath, "w") as f:
+            json.dump({
+                "total_epsilon": self.total_epsilon,
+                "total_delta": self.total_delta,
+                "ledger": self.privacy_ledger,
+            }, f, indent=2)
+
+
+def create_privacy_engine(
+    epsilon: float = 1.0,
+    delta: float = 1e-5,
+    max_grad_norm: float = 1.0,
+    noise_multiplier: float = 1.0,
+    key: Optional[jax.Array] = None,
+) -> DifferentialPrivacyEngine:
+    """Factory (ref: create_privacy_engine, privacy.py:487-512)."""
+    return DifferentialPrivacyEngine(
+        PrivacyConfig(epsilon=epsilon, delta=delta, max_grad_norm=max_grad_norm,
+                      noise_multiplier=noise_multiplier),
+        key=key,
+    )
+
+
+def estimate_privacy_parameters(
+    target_accuracy: float = 0.9,
+    dataset_size: int = 10_000,
+    num_rounds: int = 100,
+) -> Dict[str, float]:
+    """Heuristic parameter suggestion
+    (ref: estimate_privacy_parameters, privacy.py:515-557)."""
+    base_epsilon = 1.0 if dataset_size > 5000 else 2.0
+    if target_accuracy > 0.95:
+        epsilon = base_epsilon * 2
+    elif target_accuracy < 0.85:
+        epsilon = base_epsilon * 0.5
+    else:
+        epsilon = base_epsilon
+    epsilon = epsilon / math.sqrt(num_rounds)
+    return {
+        "epsilon": epsilon,
+        "delta": 1.0 / dataset_size,
+        "max_grad_norm": 1.0 if target_accuracy > 0.9 else 2.0,
+        "noise_multiplier": 1.0,
+    }

@@ -1,0 +1,424 @@
+"""The federated round engine: one FedAvg round = one XLA program.
+
+This is the TPU-native replacement for the reference's entire round data
+path (SURVEY.md §3.2-3.4): instead of N client threads each doing
+download-model → local-train → DP → serialize → gRPC → coordinator
+deserialize → per-layer averaging (with torch.save/hex round trips on every
+hop), the **superstep** below runs
+
+    broadcast(θ_g) → vmap(local SGD over C clients) → Δ clip+noise (DP) →
+    sample-weighted FedAvg reduction → new θ_g (+ on-device eval norms)
+
+as a single jitted function over HBM-resident client shards. With a device
+mesh the client axis is sharded (fl_tpu.core.mesh) and the FedAvg reduction
+lowers to an ICI all-reduce; single-chip it is one fused HBM reduction.
+
+The Python round loop stays on host (it is control-plane only: convergence
+detection, participation/straggler masks from the failure handler, metrics,
+checkpointing) — the reference's coordinator logic, minus its thread zoo.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import time
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fl_tpu.core import prng
+from fl_tpu.core import pytree as pt
+from fl_tpu.core.mesh import client_sharding, replicated
+from fl_tpu.core.types import PrivacyConfig
+from fl_tpu.data.federated import FederatedArrays
+from fl_tpu.fl import fedavg as fa
+from fl_tpu.fl import privacy as dp
+from fl_tpu.fl.convergence import ConvergenceDetector, RoundObservation
+from fl_tpu.fl.local_training import (
+    FederatedTrainingConfig,
+    make_eval_fn,
+    make_local_train_fn,
+)
+from fl_tpu.models.base import FLModel, Variables
+
+logger = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass(frozen=True)
+class RoundEngineConfig:
+    """Round-level knobs (ref defaults: config/coordinator.yaml:9-13 +
+    grpc_server.py:453-463 — min 2 / max 50 clients, 5 local epochs,
+    batch 32, lr 1e-3, 300 s timeout)."""
+
+    training: FederatedTrainingConfig = dataclasses.field(
+        default_factory=FederatedTrainingConfig
+    )
+    min_clients: int = 2
+    max_clients: int = 50
+    # DP: "none" | "delta" (reference semantics) | "dp_sgd" (per-example)
+    dp_mode: str = "none"
+    privacy: Optional[PrivacyConfig] = None
+    epsilon_per_round: Optional[float] = None  # default: privacy.epsilon
+    delta_per_round: Optional[float] = None
+    participation_rate: float = 1.0
+    straggler_dropout_rate: float = 0.0
+    seed: int = 0
+    # aggregate BatchNorm statistics with the same FedAvg weights (FedBN-avg)
+    aggregate_batch_stats: bool = True
+    compute_dtype: str = "float32"  # "bfloat16" for MXU-friendly local math
+
+
+@dataclasses.dataclass
+class RoundResult:
+    round_number: int
+    train_loss: float
+    train_accuracy: float
+    test_loss: Optional[float]
+    test_accuracy: Optional[float]
+    convergence_score: float
+    participating_clients: int
+    round_time_s: float
+    epsilon_spent: float = 0.0
+
+
+class FederatedRoundEngine:
+    """Owns the jitted superstep and the host round loop."""
+
+    def __init__(
+        self,
+        model: FLModel,
+        data: FederatedArrays,
+        config: RoundEngineConfig,
+        mesh=None,
+        test_images: Optional[np.ndarray] = None,
+        test_labels: Optional[np.ndarray] = None,
+        augment_fn: Optional[Callable] = None,
+    ):
+        self.model = model
+        self.config = config
+        self.mesh = mesh
+        self.num_clients = data.num_clients
+
+        # device placement: client-stacked leaves sharded over the mesh,
+        # global model replicated
+        self.data = data.to_device(mesh)
+        if mesh is not None:
+            self._client_sh = client_sharding(mesh)
+            self._rep_sh = replicated(mesh)
+        else:
+            self._client_sh = self._rep_sh = None
+
+        # per-client epoch budgets (capability adaptation hook; default flat)
+        self.epochs_per_client = np.full(
+            (self.num_clients,), config.training.local_epochs, np.int32
+        )
+
+        self._root_key = prng.root_key(config.seed)
+        self._np_rng = np.random.default_rng(config.seed + 1)
+
+        # privacy bookkeeping (host ledger; noise itself is on-device)
+        self.privacy = config.privacy
+        if config.dp_mode != "none" and self.privacy is None:
+            raise ValueError(f"dp_mode={config.dp_mode!r} requires a PrivacyConfig")
+        self.budget_tracker = (
+            dp.PrivacyBudgetTracker(self.privacy.epsilon, self.privacy.delta)
+            if self.privacy else None
+        )
+        self.accountant = dp.PrivacyAccountant()
+
+        # DP-SGD per-step grad transform (per-example clip + noise)
+        dp_sgd_fn = None
+        if config.dp_mode == "dp_sgd":
+            from fl_tpu.fl.local_training import cross_entropy_loss
+
+            def loss_fn(params, extra, xb, yb, dkey):
+                variables = {"params": params, **extra}
+                logits, _ = model.apply(variables, xb, train=True,
+                                        dropout_rng=dkey)
+                return cross_entropy_loss(logits, yb), None
+
+            base = dp.make_dp_sgd_grad_fn(
+                loss_fn, self.privacy.max_grad_norm, self.privacy.noise_multiplier
+            )
+
+            def dp_sgd_fn(grads, params, extra, xb, yb, dkey, nkey):
+                del grads  # recomputed per-example
+                return base(params, extra, xb, yb, dkey, nkey)
+
+        self._local_train = make_local_train_fn(
+            model,
+            config.training,
+            samples_per_client=self.data.samples_per_client,
+            mean=self.data.mean,
+            std=self.data.std,
+            augment_fn=augment_fn,
+            dp_sgd_fn=dp_sgd_fn,
+        )
+
+        self._superstep = jax.jit(self._build_superstep())
+        self._eval_fn = make_eval_fn(model) if test_images is not None else None
+        if test_images is not None:
+            self.test_images = jnp.asarray(test_images)
+            self.test_labels = jnp.asarray(test_labels)
+        else:
+            self.test_images = self.test_labels = None
+
+        self.round_number = 0
+        self.global_variables: Variables = model.init(
+            prng.stream_key(self._root_key, prng.Stream.INIT)
+        )
+        self.history: List[RoundResult] = []
+        self.detector = ConvergenceDetector()
+
+    # ------------------------------------------------------------------
+    # the superstep
+    # ------------------------------------------------------------------
+    def _build_superstep(self):
+        cfg = self.config
+        C = self.num_clients
+        local_train = self._local_train
+        dp_mode = cfg.dp_mode
+        if self.privacy is not None:
+            eps_r = cfg.epsilon_per_round or self.privacy.epsilon
+            del_r = cfg.delta_per_round or self.privacy.delta
+            max_norm = self.privacy.max_grad_norm
+        else:
+            eps_r = del_r = max_norm = None
+
+        def superstep(
+            global_vars: Variables,
+            round_idx: jax.Array,          # scalar int32
+            mask: jax.Array,               # (C,) float32 participation mask
+            epochs: jax.Array,             # (C,) int32 per-client epoch budget
+            images: jax.Array,
+            labels: jax.Array,
+            num_samples: jax.Array,
+        ):
+            keys = prng.client_round_keys(self._root_key, round_idx, C)
+
+            # broadcast global variables to a stacked client axis
+            stacked = jax.tree.map(
+                lambda x: jnp.broadcast_to(x[None], (C,) + x.shape), global_vars
+            )
+
+            new_stacked, metrics = jax.vmap(local_train)(
+                stacked, images, labels, num_samples, epochs, keys
+            )
+
+            if dp_mode == "delta":
+                # reference semantics (federated_trainer.py:428-469):
+                # noise the local-global delta, re-add to global
+                deltas = jax.tree.map(
+                    lambda c, g: c - g[None], new_stacked, global_vars
+                )
+                noisy_deltas, sens, sigma = dp.dp_noise_client_deltas(
+                    deltas, keys, eps_r, del_r, max_norm
+                )
+                new_stacked = jax.tree.map(
+                    lambda d, g: d + g[None], noisy_deltas, global_vars
+                )
+                metrics = dict(metrics, dp_sensitivity=sens, dp_sigma=sigma)
+
+            # FedAvg: sample-weighted, participation-masked; non-participants
+            # contribute the *global* model (delta form), so a partial round
+            # moves only by the participants' weighted deltas
+            agg_src = new_stacked
+            if not cfg.aggregate_batch_stats and "batch_stats" in agg_src:
+                agg_src = dict(agg_src)
+                agg_src["batch_stats"] = jax.tree.map(
+                    lambda x: jnp.broadcast_to(
+                        jnp.expand_dims(x, 0), (C,) + x.shape
+                    ),
+                    global_vars["batch_stats"],
+                )
+            new_global = fa.fedavg_delta(
+                global_vars, agg_src, num_samples, mask
+            )
+
+            # convergence norms (device-side; host detector consumes scalars)
+            w_change = pt.global_norm(pt.tree_sub(new_global, global_vars))
+            w_norm = pt.global_norm(new_global)
+
+            w = fa.normalized_client_weights(num_samples, mask)
+            out_metrics = {
+                "train_loss": jnp.sum(metrics["loss"] * w),
+                "train_accuracy": jnp.sum(metrics["accuracy"] * w),
+                "weight_change_norm": w_change,
+                "weight_norm": w_norm,
+                "client_loss": metrics["loss"],
+                "client_accuracy": metrics["accuracy"],
+            }
+            if dp_mode == "delta":
+                out_metrics["dp_sigma_mean"] = metrics["dp_sigma"].mean()
+            return new_global, out_metrics
+
+        return superstep
+
+    # ------------------------------------------------------------------
+    # host round loop
+    # ------------------------------------------------------------------
+    def sample_participation(
+        self, exclude: Optional[List[int]] = None
+    ) -> np.ndarray:
+        """Build the per-round participation mask: Bernoulli participation ×
+        straggler dropout × failure-handler exclusions, with min_clients
+        enforced and max_clients capped (by sample count, matching the
+        reference's cap rule, fedavg.py:82-86)."""
+        cfg = self.config
+        mask = (
+            self._np_rng.random(self.num_clients) < cfg.participation_rate
+        ).astype(np.float32)
+        if cfg.straggler_dropout_rate > 0:
+            mask *= (
+                self._np_rng.random(self.num_clients) >= cfg.straggler_dropout_rate
+            ).astype(np.float32)
+        if exclude:
+            mask[np.asarray(exclude, int)] = 0.0
+        if mask.sum() < cfg.min_clients:
+            # force-include the largest shards until min_clients is met
+            order = np.argsort(-np.asarray(self.data.num_samples))
+            for c in order:
+                if mask.sum() >= cfg.min_clients:
+                    break
+                if not exclude or int(c) not in exclude:
+                    mask[c] = 1.0
+        if mask.sum() > cfg.max_clients:
+            active = np.flatnonzero(mask)
+            counts = np.asarray(self.data.num_samples)[active]
+            keep = active[np.argsort(-counts)[: cfg.max_clients]]
+            mask[:] = 0.0
+            mask[keep] = 1.0
+        return mask
+
+    def run_round(
+        self,
+        mask: Optional[np.ndarray] = None,
+        evaluate: bool = True,
+    ) -> RoundResult:
+        """Execute one FedAvg round (superstep + host bookkeeping)."""
+        cfg = self.config
+        t0 = time.perf_counter()
+        if mask is None:
+            mask = self.sample_participation()
+        eps_spent = 0.0
+        if self.budget_tracker is not None and cfg.dp_mode != "none":
+            eps_r = cfg.epsilon_per_round or self.privacy.epsilon
+            del_r = cfg.delta_per_round or self.privacy.delta
+            if self.budget_tracker.is_budget_exhausted(eps_r, del_r):
+                raise dp.PrivacyError(
+                    "Privacy budget exhausted — cannot run another DP round"
+                )
+
+        new_global, metrics = self._superstep(
+            self.global_variables,
+            jnp.asarray(self.round_number, jnp.int32),
+            jnp.asarray(mask, jnp.float32),
+            jnp.asarray(self.epochs_per_client),
+            self.data.images,
+            self.data.labels,
+            self.data.num_samples,
+        )
+        self.global_variables = new_global
+
+        if self.budget_tracker is not None and cfg.dp_mode != "none":
+            eps_r = cfg.epsilon_per_round or self.privacy.epsilon
+            del_r = cfg.delta_per_round or self.privacy.delta
+            self.budget_tracker.consume_budget(eps_r, del_r,
+                                               f"round_{self.round_number}")
+            sigma = float(metrics.get("dp_sigma_mean", 0.0)) \
+                if cfg.dp_mode == "delta" else (
+                    self.privacy.noise_multiplier * self.privacy.max_grad_norm
+                    / cfg.training.batch_size)
+            self.accountant.add_mechanism(
+                "gaussian", eps_r, del_r,
+                sensitivity=self.privacy.max_grad_norm, noise_scale=sigma,
+                metadata={"round": self.round_number, "mode": cfg.dp_mode},
+            )
+            eps_spent = eps_r
+
+        test_loss = test_acc = None
+        if evaluate and self._eval_fn is not None:
+            ev = self._eval_fn(self.global_variables, self.test_images,
+                               self.test_labels)
+            test_loss = float(ev["loss"])
+            test_acc = float(ev["accuracy"])
+
+        obs = RoundObservation(
+            round_number=self.round_number,
+            accuracy=test_acc if test_acc is not None
+            else float(metrics["train_accuracy"]),
+            loss=test_loss if test_loss is not None
+            else float(metrics["train_loss"]),
+            weight_change_norm=float(metrics["weight_change_norm"]),
+            weight_norm=float(metrics["weight_norm"]),
+        )
+        conv = self.detector.update(obs)
+
+        result = RoundResult(
+            round_number=self.round_number,
+            train_loss=float(metrics["train_loss"]),
+            train_accuracy=float(metrics["train_accuracy"]),
+            test_loss=test_loss,
+            test_accuracy=test_acc,
+            convergence_score=conv.convergence_score,
+            participating_clients=int(mask.sum()),
+            round_time_s=time.perf_counter() - t0,
+            epsilon_spent=eps_spent,
+        )
+        self.history.append(result)
+        self.round_number += 1
+        return result
+
+    def run(
+        self,
+        num_rounds: int,
+        target_accuracy: Optional[float] = None,
+        early_stopping: bool = False,
+        evaluate_every: int = 1,
+        verbose: bool = False,
+    ) -> List[RoundResult]:
+        """Drive ``num_rounds`` rounds with the reference's exit criteria
+        (target accuracy / round budget / early stop — ref:
+        federated_simulation.py:362-428)."""
+        for r in range(num_rounds):
+            evaluate = (r % evaluate_every == 0) or (r == num_rounds - 1)
+            result = self.run_round(evaluate=evaluate)
+            if verbose:
+                logger.info(
+                    "round %d: train_acc=%.4f test_acc=%s loss=%.4f (%.3fs)",
+                    result.round_number, result.train_accuracy,
+                    f"{result.test_accuracy:.4f}" if result.test_accuracy
+                    is not None else "-",
+                    result.train_loss, result.round_time_s,
+                )
+            if (target_accuracy is not None and result.test_accuracy is not None
+                    and result.test_accuracy >= target_accuracy):
+                logger.info("Target accuracy %.3f reached at round %d",
+                            target_accuracy, result.round_number)
+                break
+            if early_stopping:
+                stop, reason = self.detector.should_stop_early()
+                if stop:
+                    logger.info("Early stopping: %s", reason)
+                    break
+        return self.history
+
+    # ------------------------------------------------------------------
+    def evaluate(self) -> Dict[str, float]:
+        if self._eval_fn is None:
+            raise ValueError("No test set configured")
+        ev = self._eval_fn(self.global_variables, self.test_images,
+                           self.test_labels)
+        return {k: np.asarray(v).tolist() if np.ndim(v) else float(v)
+                for k, v in ev.items()}
+
+    def get_model_weights(self) -> Dict[str, jax.Array]:
+        return self.model.get_model_weights(self.global_variables)
+
+    def set_model_weights(self, weights: Dict[str, Any]) -> None:
+        self.global_variables = self.model.set_model_weights(
+            self.global_variables, weights
+        )
