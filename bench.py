@@ -1,0 +1,108 @@
+"""Benchmark: DP-FedAvg round throughput at 512 simulated MNIST clients.
+
+Workload (BASELINE.json north star): 512 clients, SimpleCNN (~422K params),
+5 local epochs × batch 32 over 64-sample shards, reference-mode DP (delta
+clip + Gaussian noise), sample-weighted FedAvg — all as one jitted superstep
+on the available accelerator (single TPU v5e chip here; the same program
+shards over a mesh via fl_tpu.core.mesh on a slice).
+
+Reference point: the reference's simulation runs each client as a thread
+with a full torch train loop + gRPC round trip; its round latency at 5-50
+clients is tens of seconds and it cannot reach 512 clients at all. The
+north-star target is 50 rounds/sec on a v5e-8 POD SLICE; this single-chip
+bench reports vs_baseline as the fraction of that 50 rounds/sec target
+(1.0 = north star met on one chip).
+
+Prints exactly ONE JSON line on stdout.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# persistent compile cache: the axon remote compile of the superstep takes
+# minutes; cache hits bring reruns to seconds
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+
+NUM_CLIENTS = 512
+SAMPLES_PER_CLIENT = 64
+LOCAL_EPOCHS = 5
+BATCH_SIZE = 32
+TIMED_ROUNDS = 20
+TARGET_ROUNDS_PER_SEC = 50.0  # north-star on v5e-8
+
+
+def main() -> None:
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ["JAX_COMPILATION_CACHE_DIR"])
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception as e:  # cache is an optimization, not a requirement
+        print(f"compile cache unavailable: {e}", file=sys.stderr)
+
+    from fl_tpu.core.types import PrivacyConfig
+    from fl_tpu.data import load_dataset, make_federated_arrays
+    from fl_tpu.fl.local_training import FederatedTrainingConfig
+    from fl_tpu.models import create_model
+    from fl_tpu.orchestration import FederatedRoundEngine, RoundEngineConfig
+
+    print(f"devices: {jax.devices()}", file=sys.stderr)
+
+    splits = load_dataset(
+        "mnist",
+        n_train_synth=NUM_CLIENTS * SAMPLES_PER_CLIENT,
+        n_test_synth=1024,
+    )
+    arrays = make_federated_arrays(
+        splits, num_clients=NUM_CLIENTS, strategy="iid",
+        samples_per_client=SAMPLES_PER_CLIENT, seed=0,
+    )
+    model = create_model("simple_cnn")
+    cfg = RoundEngineConfig(
+        training=FederatedTrainingConfig(
+            local_epochs=LOCAL_EPOCHS, batch_size=BATCH_SIZE,
+            learning_rate=0.001, optimizer_type="adam",
+        ),
+        dp_mode="delta",
+        privacy=PrivacyConfig(epsilon=1.0, delta=1e-5, max_grad_norm=1.0),
+        epsilon_per_round=1.0 / (TIMED_ROUNDS + 8),
+        delta_per_round=1e-5 / (TIMED_ROUNDS + 8),
+        max_clients=NUM_CLIENTS,
+        seed=0,
+    )
+    engine = FederatedRoundEngine(model, arrays, cfg)
+
+    t0 = time.perf_counter()
+    engine.run_round(evaluate=False)  # compile + warmup
+    compile_s = time.perf_counter() - t0
+    print(f"warmup (incl. compile): {compile_s:.1f}s", file=sys.stderr)
+
+    t0 = time.perf_counter()
+    for _ in range(TIMED_ROUNDS):
+        engine.run_round(evaluate=False)
+    # run_round blocks on host-side float() conversions, so timing is sync'd
+    dt = time.perf_counter() - t0
+    rounds_per_sec = TIMED_ROUNDS / dt
+    client_rounds_per_sec = rounds_per_sec * NUM_CLIENTS
+
+    print(
+        f"{TIMED_ROUNDS} rounds in {dt:.2f}s -> {rounds_per_sec:.2f} rounds/s "
+        f"({client_rounds_per_sec:.0f} client-rounds/s)",
+        file=sys.stderr,
+    )
+
+    print(json.dumps({
+        "metric": "dp_fedavg_rounds_per_sec_512clients_mnist_v5e1",
+        "value": round(rounds_per_sec, 3),
+        "unit": "rounds/sec",
+        "vs_baseline": round(rounds_per_sec / TARGET_ROUNDS_PER_SEC, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

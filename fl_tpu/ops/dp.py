@@ -1,0 +1,164 @@
+"""Fused DP clip + Gaussian-noise Pallas kernel.
+
+The DP hot path adds i.i.d. Gaussian noise to every element of every
+client's update (421K elements × C clients for SimpleCNN). Done naively
+(reference: a fresh ``torch.normal`` per layer per client,
+src/shared/privacy.py:239-247) this is multiple HBM round trips per layer;
+here it is ONE kernel over the (C, D) flat update matrix that fuses:
+
+    scale-by-clip-coefficient → on-core PRNG (Box–Muller) → add noise
+
+so each element is read once and written once — HBM-bandwidth-bound at
+exactly 2·4·C·D bytes. Noise is generated on-core by the TPU PRNG
+(pltpu.prng_random_bits), seeded per (client, chunk) so client streams are
+independent and reproducible from the round key.
+
+The pure-jnp reference implementation (`_clip_noise_jnp`) is the numerical
+oracle for tests and the CPU path; both paths share the same clip/σ math,
+while noise bits differ by construction (different PRNGs) — DP correctness
+depends on the distribution, not the stream.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+CHUNK = 2048  # columns per kernel program; multiple of 128 lanes
+
+
+def on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:
+        return False
+
+
+def gaussian_factor(epsilon: float, delta: float) -> float:
+    """σ/sensitivity of the Gaussian mechanism (ref: privacy.py:209)."""
+    return math.sqrt(2.0 * math.log(1.25 / delta)) / epsilon
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernel
+# ---------------------------------------------------------------------------
+
+def _clip_noise_kernel(seed_ref, scale_ref, sigma_ref, x_ref, out_ref):
+    """One program handles one (1, CHUNK) block of one client's flat vector."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    j = jax.lax.convert_element_type(
+        _program_id(1), jnp.int32
+    )
+    # unique stream per (client, chunk): the per-client seed plus chunk index
+    pltpu.prng_seed(seed_ref[0, 0] + j)
+
+    shape = x_ref.shape  # (1, CHUNK)
+    # Box–Muller from two independent uint32 draws
+    bits1 = pltpu.prng_random_bits(shape)
+    bits2 = pltpu.prng_random_bits(shape)
+    # top 24 bits -> uniform in [2^-25, 1): strictly positive for the log
+    u1 = (bits1 >> 8).astype(jnp.float32) * (1.0 / (1 << 24)) + (1.0 / (1 << 25))
+    u2 = (bits2 >> 8).astype(jnp.float32) * (1.0 / (1 << 24))
+    two_pi = 2.0 * np.pi
+    z = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(two_pi * u2)
+
+    out_ref[:] = x_ref[:] * scale_ref[0, 0] + sigma_ref[0, 0] * z
+
+
+def _program_id(axis: int):
+    from jax.experimental import pallas as pl
+
+    return pl.program_id(axis)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _clip_noise_pallas(x, scale, sigma, seeds, *, interpret: bool = False):
+    """x: (C, D) f32; scale/sigma: (C,) f32; seeds: (C,) int32."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    C, D = x.shape
+    assert D % CHUNK == 0, f"D={D} must be a multiple of {CHUNK}"
+    grid = (C, D // CHUNK)
+    return pl.pallas_call(
+        _clip_noise_kernel,
+        out_shape=jax.ShapeDtypeStruct((C, D), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda c, j: (c, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda c, j: (c, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda c, j: (c, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, CHUNK), lambda c, j: (c, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, CHUNK), lambda c, j: (c, j),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(seeds.reshape(C, 1).astype(jnp.int32),
+      scale.reshape(C, 1).astype(jnp.float32),
+      sigma.reshape(C, 1).astype(jnp.float32),
+      x.astype(jnp.float32))
+
+
+# ---------------------------------------------------------------------------
+# jnp reference path
+# ---------------------------------------------------------------------------
+
+def _clip_noise_jnp(x, scale, sigma, keys):
+    noise = jax.vmap(lambda k, row: jax.random.normal(k, row.shape))(keys, x)
+    return x * scale[:, None] + sigma[:, None] * noise
+
+
+# ---------------------------------------------------------------------------
+# public API
+# ---------------------------------------------------------------------------
+
+def clip_noise_matrix(
+    x: jax.Array,
+    keys: jax.Array,
+    epsilon: float,
+    delta: float,
+    max_norm: float,
+    d_valid: Optional[int] = None,
+    use_pallas: Optional[bool] = None,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Reference-mode DP over a (C, D) flat update matrix.
+
+    Per client: clip the row's L2 norm to ``max_norm``, set
+    σ = min(‖row‖, max_norm)·√(2·ln(1.25/δ))/ε (the reference's
+    sensitivity-=-clipped-norm rule, privacy.py:296-301), add N(0, σ²) to
+    every element. ``d_valid`` restricts the norm to the unpadded prefix.
+
+    Returns (noisy_matrix, sensitivity (C,), sigma (C,)).
+    """
+    C, D = x.shape
+    x = x.astype(jnp.float32)
+    if d_valid is not None and d_valid != D:
+        col = jnp.arange(D)[None, :] < d_valid
+        sq = jnp.sum(jnp.square(x) * col, axis=1)
+    else:
+        sq = jnp.sum(jnp.square(x), axis=1)
+    norms = jnp.sqrt(sq)
+    scale = jnp.minimum(1.0, max_norm / jnp.maximum(norms, 1e-12))
+    sens = jnp.minimum(norms, max_norm)
+    sigma = sens * gaussian_factor(epsilon, delta)
+
+    if use_pallas is None:
+        use_pallas = on_tpu()
+    if use_pallas:
+        seeds = jax.random.key_data(keys).astype(jnp.uint32)
+        seeds = (seeds[:, 0] ^ seeds[:, -1]).astype(jnp.int32)
+        noisy = _clip_noise_pallas(x, scale, sigma, seeds, interpret=interpret)
+    else:
+        noisy = _clip_noise_jnp(x, scale, sigma, keys)
+    return noisy, sens, sigma

@@ -158,7 +158,18 @@ class FederatedRoundEngine:
             dp_sgd_fn=dp_sgd_fn,
         )
 
-        self._superstep = jax.jit(self._build_superstep())
+        if mesh is not None:
+            # explicit shardings: global model replicated, every
+            # client-stacked argument split over the mesh's client axis.
+            # XLA then runs local training fully parallel per shard and
+            # lowers the FedAvg reduction to an ICI all-reduce.
+            rep, csh = self._rep_sh, self._client_sh
+            self._superstep = jax.jit(
+                self._build_superstep(),
+                in_shardings=(rep, rep, csh, csh, csh, csh, csh),
+            )
+        else:
+            self._superstep = jax.jit(self._build_superstep())
         self._eval_fn = make_eval_fn(model) if test_images is not None else None
         if test_images is not None:
             self.test_images = jnp.asarray(test_images)
