@@ -109,11 +109,13 @@ class FedAvgAggregator:
         min_clients: int = 2,
         max_clients: Optional[int] = None,
         validate_updates: bool = True,
+        validator: Optional[ModelUpdateValidator] = None,
     ):
         self.min_clients = min_clients
         self.max_clients = max_clients
         self.validate_updates = validate_updates
-        self.validator = ModelUpdateValidator() if validate_updates else None
+        self.validator = (validator or ModelUpdateValidator()
+                          if validate_updates else None)
         self.aggregation_history: List[Dict[str, Any]] = []
 
     # -- public API ---------------------------------------------------------

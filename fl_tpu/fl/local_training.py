@@ -240,10 +240,11 @@ def make_eval_fn(model: FLModel, batch_size: int = 512) -> Callable:
     @jax.jit
     def eval_fn(variables: Variables, images: jax.Array, labels: jax.Array):
         n = images.shape[0]
-        n_batches = max(1, n // batch_size)
-        usable = n_batches * batch_size
-        xs = images[:usable].reshape((n_batches, batch_size) + images.shape[1:])
-        ys = labels[:usable].reshape((n_batches, batch_size))
+        bs = min(batch_size, n)
+        n_batches = max(1, n // bs)
+        usable = n_batches * bs
+        xs = images[:usable].reshape((n_batches, bs) + images.shape[1:])
+        ys = labels[:usable].reshape((n_batches, bs))
 
         def body(carry, xy):
             xb, yb = xy

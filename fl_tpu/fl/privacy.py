@@ -115,16 +115,37 @@ def dp_noise_client_deltas(
     epsilon: float,
     delta: float,
     max_norm: float,
+    use_pallas: Optional[bool] = None,
 ) -> Tuple[Any, jax.Array, jax.Array]:
-    """Population version: vmapped reference-mode DP over stacked client
-    deltas (leading axis C). Each client gets an independent noise stream
-    derived from its (round, client) key folded with the DP_NOISE tag."""
+    """Population version: reference-mode DP over stacked client deltas
+    (leading axis C). Each client gets an independent noise stream derived
+    from its (round, client) key folded with the DP_NOISE tag.
 
-    def one(delta_tree, ckey):
-        nkey = prng.stream_key(ckey, prng.Stream.DP_NOISE)
+    On TPU this routes through the fused Pallas clip+noise kernel over the
+    flat (C, D) update matrix (fl_tpu.ops.dp); elsewhere it is the vmapped
+    tree-based jnp path. Both share the same clip/σ math."""
+    from fl_tpu.ops import dp as dp_kernels
+    from fl_tpu.ops.flatten import flat_dim, stack_flatten, stack_unflatten
+
+    if use_pallas is None:
+        use_pallas = dp_kernels.on_tpu()
+
+    nkeys = jax.vmap(lambda k: prng.stream_key(k, prng.Stream.DP_NOISE))(
+        round_keys
+    )
+    if use_pallas:
+        mat, spec = stack_flatten(stacked_deltas)
+        d_valid = flat_dim(stacked_deltas)
+        noisy_mat, sens, sigma = dp_kernels.clip_noise_matrix(
+            mat, nkeys, epsilon, delta, max_norm,
+            d_valid=d_valid, use_pallas=True,
+        )
+        return stack_unflatten(noisy_mat, spec), sens, sigma
+
+    def one(delta_tree, nkey):
         return clip_and_noise_tree(delta_tree, nkey, epsilon, delta, max_norm)
 
-    return jax.vmap(one)(stacked_deltas, round_keys)
+    return jax.vmap(one)(stacked_deltas, nkeys)
 
 
 # ---------------------------------------------------------------------------

@@ -49,26 +49,35 @@ def gaussian_factor(epsilon: float, delta: float) -> float:
 # ---------------------------------------------------------------------------
 
 def _clip_noise_kernel(seed_ref, scale_ref, sigma_ref, x_ref, out_ref):
-    """One program handles one (1, CHUNK) block of one client's flat vector."""
+    """One program handles one (1, BLOCK_ROWS, CHUNK) tile of one client's
+    flat vector (viewed as (C, R, CHUNK) for TPU sublane alignment).
+
+    seed/scale/sigma arrive as (C,) scalar-prefetch arrays in SMEM, indexed
+    by the client grid coordinate."""
     from jax.experimental.pallas import tpu as pltpu
 
-    j = jax.lax.convert_element_type(
-        _program_id(1), jnp.int32
-    )
-    # unique stream per (client, chunk): the per-client seed plus chunk index
-    pltpu.prng_seed(seed_ref[0, 0] + j)
+    c = _program_id(0)
+    j = _program_id(1)
+    # unique stream per (client, tile): the per-client seed plus tile index
+    pltpu.prng_seed(seed_ref[c] + j)
 
-    shape = x_ref.shape  # (1, CHUNK)
-    # Box–Muller from two independent uint32 draws
-    bits1 = pltpu.prng_random_bits(shape)
-    bits2 = pltpu.prng_random_bits(shape)
-    # top 24 bits -> uniform in [2^-25, 1): strictly positive for the log
-    u1 = (bits1 >> 8).astype(jnp.float32) * (1.0 / (1 << 24)) + (1.0 / (1 << 25))
-    u2 = (bits2 >> 8).astype(jnp.float32) * (1.0 / (1 << 24))
+    shape = x_ref.shape  # (1, BLOCK_ROWS, CHUNK)
+    # Box–Muller from two independent uint32 draws (bitcast: prng_random_bits
+    # yields int32 and an arithmetic >> would smear the sign bit)
+    bits1 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    bits2 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    # top 24 bits -> uniform in [2^-25, 1): strictly positive for the log.
+    # (shift as uint32, then bitcast to int32 for the float cast — the
+    # shifted value is < 2^24 so the sign bit is clear; mosaic has no
+    # uint32->f32 cast)
+    i1 = pltpu.bitcast(bits1 >> 8, jnp.int32).astype(jnp.float32)
+    i2 = pltpu.bitcast(bits2 >> 8, jnp.int32).astype(jnp.float32)
+    u1 = i1 * (1.0 / (1 << 24)) + (1.0 / (1 << 25))
+    u2 = i2 * (1.0 / (1 << 24))
     two_pi = 2.0 * np.pi
     z = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(two_pi * u2)
 
-    out_ref[:] = x_ref[:] * scale_ref[0, 0] + sigma_ref[0, 0] * z
+    out_ref[:] = x_ref[:] * scale_ref[c] + sigma_ref[c] * z
 
 
 def _program_id(axis: int):
@@ -77,36 +86,45 @@ def _program_id(axis: int):
     return pl.program_id(axis)
 
 
+BLOCK_ROWS = 8  # f32 sublane multiple
+TILE = BLOCK_ROWS * CHUNK  # elements per kernel program
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _clip_noise_pallas(x, scale, sigma, seeds, *, interpret: bool = False):
-    """x: (C, D) f32; scale/sigma: (C,) f32; seeds: (C,) int32."""
+    """x: (C, D) f32 with D % TILE == 0; scale/sigma: (C,) f32;
+    seeds: (C,) int32."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     C, D = x.shape
-    assert D % CHUNK == 0, f"D={D} must be a multiple of {CHUNK}"
-    grid = (C, D // CHUNK)
-    return pl.pallas_call(
-        _clip_noise_kernel,
-        out_shape=jax.ShapeDtypeStruct((C, D), jnp.float32),
-        grid=grid,
+    assert D % TILE == 0, f"D={D} must be a multiple of {TILE}"
+    rows = D // CHUNK
+    x3 = x.reshape(C, rows, CHUNK)
+    # the generic pallas interpreter lacks TPU PRNG primitives; use the
+    # TPU-semantics interpreter for CPU testing
+    interp = pltpu.InterpretParams() if interpret else False
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,  # seeds, scales, sigmas as (C,) SMEM arrays
+        grid=(C, rows // BLOCK_ROWS),
         in_specs=[
-            pl.BlockSpec((1, 1), lambda c, j: (c, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1), lambda c, j: (c, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1), lambda c, j: (c, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, CHUNK), lambda c, j: (c, j),
+            pl.BlockSpec((1, BLOCK_ROWS, CHUNK), lambda c, j, *_: (c, j, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, CHUNK), lambda c, j: (c, j),
+        out_specs=pl.BlockSpec((1, BLOCK_ROWS, CHUNK),
+                               lambda c, j, *_: (c, j, 0),
                                memory_space=pltpu.VMEM),
-        interpret=interpret,
-    )(seeds.reshape(C, 1).astype(jnp.int32),
-      scale.reshape(C, 1).astype(jnp.float32),
-      sigma.reshape(C, 1).astype(jnp.float32),
-      x.astype(jnp.float32))
+    )
+    out = pl.pallas_call(
+        _clip_noise_kernel,
+        out_shape=jax.ShapeDtypeStruct((C, rows, CHUNK), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interp,
+    )(seeds.astype(jnp.int32),
+      scale.astype(jnp.float32),
+      sigma.astype(jnp.float32),
+      x3.astype(jnp.float32))
+    return out.reshape(C, D)
 
 
 # ---------------------------------------------------------------------------
@@ -156,9 +174,16 @@ def clip_noise_matrix(
     if use_pallas is None:
         use_pallas = on_tpu()
     if use_pallas:
-        seeds = jax.random.key_data(keys).astype(jnp.uint32)
-        seeds = (seeds[:, 0] ^ seeds[:, -1]).astype(jnp.int32)
-        noisy = _clip_noise_pallas(x, scale, sigma, seeds, interpret=interpret)
+        data = (jax.random.key_data(keys)
+                if jnp.issubdtype(keys.dtype, jax.dtypes.prng_key)
+                else keys)
+        data = data.astype(jnp.uint32)
+        seeds = (data[:, 0] ^ data[:, -1]).astype(jnp.int32)
+        pad = (-D) % TILE
+        xp = jnp.pad(x, ((0, 0), (0, pad))) if pad else x
+        noisy = _clip_noise_pallas(xp, scale, sigma, seeds,
+                                   interpret=interpret)
+        noisy = noisy[:, :D] if pad else noisy
     else:
         noisy = _clip_noise_jnp(x, scale, sigma, keys)
     return noisy, sens, sigma

@@ -69,6 +69,9 @@ class RoundEngineConfig:
     # aggregate BatchNorm statistics with the same FedAvg weights (FedBN-avg)
     aggregate_batch_stats: bool = True
     compute_dtype: str = "float32"  # "bfloat16" for MXU-friendly local math
+    # DP noise via the fused Pallas kernel (None = auto: TPU && no mesh;
+    # under a mesh the jnp path is used so XLA can shard the client axis)
+    use_pallas_dp: Optional[bool] = None
 
 
 @dataclasses.dataclass
@@ -192,6 +195,11 @@ class FederatedRoundEngine:
         C = self.num_clients
         local_train = self._local_train
         dp_mode = cfg.dp_mode
+        use_pallas_dp = cfg.use_pallas_dp
+        if use_pallas_dp is None:
+            from fl_tpu.ops.dp import on_tpu
+
+            use_pallas_dp = on_tpu() and self.mesh is None
         if self.privacy is not None:
             eps_r = cfg.epsilon_per_round or self.privacy.epsilon
             del_r = cfg.delta_per_round or self.privacy.delta
@@ -226,7 +234,8 @@ class FederatedRoundEngine:
                     lambda c, g: c - g[None], new_stacked, global_vars
                 )
                 noisy_deltas, sens, sigma = dp.dp_noise_client_deltas(
-                    deltas, keys, eps_r, del_r, max_norm
+                    deltas, keys, eps_r, del_r, max_norm,
+                    use_pallas=use_pallas_dp,
                 )
                 new_stacked = jax.tree.map(
                     lambda d, g: d + g[None], noisy_deltas, global_vars

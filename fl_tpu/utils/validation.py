@@ -35,18 +35,31 @@ class ValidationError(Exception):
     pass
 
 
-def _weights_finite_and_bounded(weights: Mapping[str, Any]) -> Optional[str]:
+def _weights_finite_and_bounded(weights: Mapping[str, Any],
+                                max_abs: float = MAX_ABS_WEIGHT
+                                ) -> Optional[str]:
     for name, w in weights.items():
         arr = np.asarray(w)
         if not np.all(np.isfinite(arr)):
             return f"non-finite values in {name}"
-        if np.abs(arr).max(initial=0.0) > MAX_ABS_WEIGHT:
-            return f"weight magnitude exceeds {MAX_ABS_WEIGHT} in {name}"
+        if np.abs(arr).max(initial=0.0) > max_abs:
+            return f"weight magnitude exceeds {max_abs} in {name}"
     return None
 
 
 class ModelUpdateValidator:
-    """ref: ModelUpdateValidator, src/shared/validation.py:21-112."""
+    """ref: ModelUpdateValidator, src/shared/validation.py:21-112.
+
+    ``max_abs_weight`` is configurable because DP-noised updates can
+    legitimately exceed the reference's fixed bound of 10: Gaussian noise
+    with σ ≈ C·√(2·ln(1.25/δ))/ε over ~4·10⁵ elements has an expected max of
+    several σ, which at small ε lands above 10 (the reference would reject
+    its own DP clients here). DP deployments should widen the bound; see
+    FederatedLearningServicer.
+    """
+
+    def __init__(self, max_abs_weight: float = MAX_ABS_WEIGHT):
+        self.max_abs_weight = max_abs_weight
 
     def validate_model_update(self, update: ModelUpdate) -> bool:
         try:
@@ -54,7 +67,13 @@ class ModelUpdateValidator:
                 logger.warning("Update %s failed basic field validation",
                                update.client_id)
                 return False
-            err = _weights_finite_and_bounded(update.model_weights)
+            # DP-noised updates are unbounded by construction (the client
+            # declares its spend via privacy_budget_used): keep the
+            # NaN/Inf check, skip the magnitude bound. Non-DP updates keep
+            # the reference's bound.
+            max_abs = (float("inf") if update.privacy_budget_used > 0
+                       else self.max_abs_weight)
+            err = _weights_finite_and_bounded(update.model_weights, max_abs)
             if err:
                 logger.warning("Update %s rejected: %s", update.client_id, err)
                 return False
