@@ -1,0 +1,139 @@
+"""Checkpoint/resume for federated training.
+
+The reference only checkpoints client-local epoch state
+(LocalTrainer._save_checkpoint, src/shared/training.py:257-305) and has NO
+coordinator resume-from-round (SURVEY.md §5.4). This module provides the
+full thing with orbax: the global model variables, round number, privacy
+budget ledger, convergence-detector state, and the experiment seed — enough
+to resume a run bit-exactly (per-round PRNG keys are derived from
+(seed, round), fl_tpu.core.prng, so no RNG state needs replaying).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+CHECKPOINT_VERSION = 1
+
+
+class CheckpointManager:
+    """Orbax-backed round checkpoints with a JSON sidecar for host state."""
+
+    def __init__(self, directory: str, max_to_keep: int = 3):
+        self.directory = Path(directory).resolve()
+        self.directory.mkdir(parents=True, exist_ok=True)
+        self.max_to_keep = max_to_keep
+        import orbax.checkpoint as ocp
+
+        self._ckpt = ocp.StandardCheckpointer()
+
+    # ------------------------------------------------------------------
+    def _step_dir(self, step: int) -> Path:
+        return self.directory / f"round_{step:08d}"
+
+    def save(self, step: int, variables: Any,
+             host_state: Optional[Dict[str, Any]] = None) -> Path:
+        path = self._step_dir(step)
+        self._ckpt.save(path / "variables", variables, force=True)
+        meta = {
+            "version": CHECKPOINT_VERSION,
+            "round_number": step,
+            "host_state": host_state or {},
+        }
+        (path / "meta.json").write_text(json.dumps(meta, default=float))
+        self._gc()
+        logger.info("checkpoint saved at %s", path)
+        return path
+
+    def restore(self, step: Optional[int] = None,
+                template: Any = None) -> Dict[str, Any]:
+        """Restore the given (or latest) step. ``template`` is a pytree with
+        the target structure/shapes (required by orbax standard restore)."""
+        if step is None:
+            step = self.latest_step()
+            if step is None:
+                raise FileNotFoundError(f"no checkpoints in {self.directory}")
+        path = self._step_dir(step)
+        variables = self._ckpt.restore(path / "variables", template)
+        meta = json.loads((path / "meta.json").read_text())
+        return {
+            "round_number": meta["round_number"],
+            "variables": variables,
+            "host_state": meta.get("host_state", {}),
+        }
+
+    def latest_step(self) -> Optional[int]:
+        steps = sorted(
+            int(p.name.split("_")[1])
+            for p in self.directory.glob("round_*") if p.is_dir()
+        )
+        return steps[-1] if steps else None
+
+    def all_steps(self):
+        return sorted(
+            int(p.name.split("_")[1])
+            for p in self.directory.glob("round_*") if p.is_dir()
+        )
+
+    def _gc(self) -> None:
+        import shutil
+
+        steps = self.all_steps()
+        for step in steps[: max(0, len(steps) - self.max_to_keep)]:
+            shutil.rmtree(self._step_dir(step), ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# engine integration
+# ---------------------------------------------------------------------------
+
+def save_engine_checkpoint(engine, directory: str) -> Path:
+    """Snapshot a FederatedRoundEngine: model variables + round + budget +
+    detector + seed."""
+    mgr = CheckpointManager(directory)
+    host_state: Dict[str, Any] = {
+        "seed": engine.config.seed,
+        "detector": {
+            "best_accuracy": engine.detector.best_accuracy,
+            "best_loss": (engine.detector.best_loss
+                          if np.isfinite(engine.detector.best_loss) else None),
+            "rounds_without_improvement":
+                engine.detector.rounds_without_improvement,
+        },
+    }
+    if engine.budget_tracker is not None:
+        host_state["privacy_budget"] = engine.budget_tracker.state_dict()
+    return mgr.save(engine.round_number, engine.global_variables, host_state)
+
+
+def restore_engine_checkpoint(engine, directory: str,
+                              step: Optional[int] = None) -> int:
+    """Restore a FederatedRoundEngine in place; returns the resumed round.
+
+    Exactness: per-round PRNG keys are pure functions of (seed, round,
+    client), so a restored engine reproduces the exact continuation of the
+    original run."""
+    mgr = CheckpointManager(directory)
+    state = mgr.restore(step, template=engine.global_variables)
+    engine.global_variables = state["variables"]
+    engine.round_number = state["round_number"]
+    hs = state["host_state"]
+    if "privacy_budget" in hs and engine.budget_tracker is not None:
+        engine.budget_tracker.load_state_dict(hs["privacy_budget"])
+    det = hs.get("detector", {})
+    engine.detector.best_accuracy = det.get("best_accuracy", 0.0)
+    bl = det.get("best_loss")
+    engine.detector.best_loss = float("inf") if bl is None else bl
+    engine.detector.rounds_without_improvement = det.get(
+        "rounds_without_improvement", 0
+    )
+    logger.info("engine restored at round %d from %s",
+                engine.round_number, directory)
+    return engine.round_number

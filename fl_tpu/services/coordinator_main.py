@@ -1,0 +1,153 @@
+"""``fl-coordinator`` CLI entry point.
+
+Parity target: src/coordinator/main.py — CLI (--config), YAML load, logging
+setup, optional DB init via DATABASE_URL, starting RoundManager +
+MetricsTracker + FailureHandler + gRPC + REST, idle loop, SIGINT/SIGTERM
+shutdown in reverse start order (ref: CoordinatorService, main.py:64-172).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import signal
+import threading
+from typing import Any, Dict, Optional
+
+logger = logging.getLogger(__name__)
+
+
+class CoordinatorService:
+    """ref: CoordinatorService, coordinator/main.py:64-172."""
+
+    def __init__(self, config: Dict[str, Any]):
+        self.config = config
+        self._stop = threading.Event()
+        self.grpc_server = None
+        self.rest_api = None
+        self.round_manager = None
+        self.metrics_tracker = None
+        self.failure_handler = None
+        self.database = None
+
+    def start(self) -> None:
+        from fl_tpu.orchestration.failure import FailureHandler
+        from fl_tpu.orchestration.metrics import MetricsTracker
+        from fl_tpu.orchestration.round_manager import RoundManager
+        from fl_tpu.services.config import round_config_from
+        from fl_tpu.services.grpc_server import (
+            CoordinatorGRPCServer,
+            FederatedLearningServicer,
+        )
+        from fl_tpu.services.rest_api import CoordinatorAPI
+
+        cfg = self.config
+        round_config = round_config_from(cfg)
+        server_cfg = cfg.get("server", {})
+        training_cfg = cfg.get("training", {})
+
+        # optional persistence (ref: main.py:107-110)
+        db_url = cfg.get("storage", {}).get("database_url")
+        if db_url:
+            from fl_tpu.services.database import create_database_manager
+
+            self.database = create_database_manager(db_url)
+            self.database.create_tables()
+
+        self.round_manager = RoundManager(
+            round_config=round_config,
+            auto_start=bool(training_cfg.get("auto_start", False)),
+        )
+        self.round_manager.start()
+
+        self.metrics_tracker = MetricsTracker()
+        self.metrics_tracker.start()
+
+        self.failure_handler = FailureHandler()
+
+        servicer = FederatedLearningServicer(
+            round_config=round_config,
+            model_name=training_cfg.get("model", "simple_cnn"),
+        )
+        self.grpc_server = CoordinatorGRPCServer(
+            servicer,
+            host=server_cfg.get("host", "0.0.0.0"),
+            port=int(server_cfg.get("grpc_port", 50051)),
+        )
+        self.grpc_server.start()
+
+        self.rest_api = CoordinatorAPI(
+            round_manager=self.round_manager,
+            metrics=self.metrics_tracker.collector,
+            failure_handler=self.failure_handler,
+            host=server_cfg.get("host", "0.0.0.0"),
+            port=int(server_cfg.get("http_port", 8080)),
+        )
+        self.rest_api.start_server()
+        logger.info("coordinator up: gRPC :%d, REST :%d",
+                    self.grpc_server.port, self.rest_api.port)
+
+    def wait(self) -> None:
+        """Idle until stopped (ref: main.py:143-144)."""
+        self._stop.wait()
+
+    def stop(self) -> None:
+        """Reverse-order shutdown (ref: main.py:152-172)."""
+        logger.info("coordinator shutting down")
+        if self.rest_api is not None:
+            self.rest_api.stop_server()
+        if self.grpc_server is not None:
+            self.grpc_server.stop()
+        if self.metrics_tracker is not None:
+            self.metrics_tracker.stop()
+        if self.round_manager is not None:
+            self.round_manager.stop()
+        if self.database is not None:
+            self.database.close()
+        self._stop.set()
+
+
+def main(argv: Optional[list] = None) -> int:
+    """ref: main, coordinator/main.py:174-210."""
+    from fl_tpu.services.config import (
+        DEFAULT_COORDINATOR_CONFIG,
+        apply_env_overrides,
+        load_config,
+    )
+
+    parser = argparse.ArgumentParser(prog="fl-coordinator",
+                                     description="federated learning "
+                                                 "coordinator (TPU-native)")
+    parser.add_argument("--config", default=None, help="YAML config path")
+    parser.add_argument("--log-level", default=None)
+    args = parser.parse_args(argv)
+
+    config = load_config(args.config, DEFAULT_COORDINATOR_CONFIG)
+    config = apply_env_overrides(config, "coordinator")
+    level = args.log_level or config.get("logging", {}).get("level", "INFO")
+
+    from fl_tpu.utils.logging_config import setup_logging
+
+    setup_logging(level=level,
+                  log_file=config.get("logging", {}).get("file"),
+                  service_name="coordinator")
+
+    service = CoordinatorService(config)
+
+    def _signal(signum, frame):
+        del signum, frame
+        service.stop()
+
+    signal.signal(signal.SIGINT, _signal)
+    signal.signal(signal.SIGTERM, _signal)
+
+    service.start()
+    try:
+        service.wait()
+    except KeyboardInterrupt:
+        service.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
