@@ -156,43 +156,64 @@ def make_dp_sgd_grad_fn(
     loss_fn: Callable,
     max_grad_norm: float,
     noise_multiplier: float,
+    microbatch_size: int = 16,
 ) -> Callable:
     """Build a per-example-clipped, noised gradient function for DP-SGD.
 
     ``loss_fn(params, extra_vars, xb, yb, dropout_key) -> (loss, aux)`` is the
     same loss used for plain training. The returned function computes
-    per-example gradients (vmap over the batch), clips each example's global
-    grad norm to C, averages, and adds N(0, (z·C/B)²) noise.
+    per-example gradients, clips each example's global grad norm to C,
+    averages, and adds N(0, (z·C/B)²) noise.
 
-    XLA note: the per-example grad is a vmapped vjp — on TPU this batches
-    into the same MXU ops as the plain gradient, costing roughly one extra
-    backward-pass activation footprint, which is the canonical TPU DP-SGD
-    recipe. The fused clip+noise on the flat vector is the Pallas kernel in
-    fl_tpu.ops.dp (used when available; this jnp version is the portable
-    reference implementation).
+    Memory discipline: per-example gradients are |params|×B floats — at
+    hundreds of vmapped clients they would exceed HBM. The batch is
+    therefore processed in ``microbatch_size`` chunks via ``lax.scan``:
+    each chunk's per-example grads are computed (vmapped vjp — on TPU this
+    batches onto the same MXU ops as the plain gradient), clipped, summed,
+    and the chunk buffer is freed before the next. Peak live memory is
+    C × microbatch_size × |params| instead of C × B × |params|.
+
+    The fused clip+noise flat-vector Pallas kernel lives in fl_tpu.ops.dp;
+    this jnp formulation is the portable reference the kernel is tested
+    against.
     """
 
-    def per_example_grads(params, extra, xb, yb, dkey):
+    def chunk_clipped_sum(params, extra, xc, yc, dkey):
+        """Sum of per-example clipped grads for one (m, ...) chunk."""
+        m = xc.shape[0]
+
         def one(x, y):
-            g = jax.grad(
+            return jax.grad(
                 lambda p: loss_fn(p, extra, x[None], y[None], dkey)[0]
             )(params)
-            return g
 
-        return jax.vmap(one)(xb, yb)
-
-    def dp_grad(params, extra, xb, yb, dkey, noise_key):
-        batch = xb.shape[0]
-        grads = per_example_grads(params, extra, xb, yb, dkey)  # leaves (B, ...)
-        # per-example global norms
-        sq = [jnp.sum(jnp.square(g.reshape(batch, -1)), axis=1)
+        grads = jax.vmap(one)(xc, yc)  # leaves (m, ...)
+        sq = [jnp.sum(jnp.square(g.reshape(m, -1)), axis=1)
               for g in jax.tree.leaves(grads)]
         norms = jnp.sqrt(jnp.sum(jnp.stack(sq), axis=0))
         scale = jnp.minimum(1.0, max_grad_norm / jnp.maximum(norms, 1e-12))
-        clipped = jax.tree.map(
-            lambda g: g * scale.reshape((batch,) + (1,) * (g.ndim - 1)), grads
+        return jax.tree.map(
+            lambda g: jnp.tensordot(scale, g, axes=1), grads
         )
-        mean_grad = jax.tree.map(lambda g: g.mean(0), clipped)
+
+    def dp_grad(params, extra, xb, yb, dkey, noise_key):
+        batch = xb.shape[0]
+        m = min(microbatch_size, batch)
+        n_chunks = batch // m
+        assert n_chunks * m == batch, (
+            f"batch {batch} must be divisible by microbatch {m}"
+        )
+        xcs = xb.reshape((n_chunks, m) + xb.shape[1:])
+        ycs = yb.reshape((n_chunks, m) + yb.shape[1:])
+
+        def body(acc, xy):
+            xc, yc = xy
+            s = chunk_clipped_sum(params, extra, xc, yc, dkey)
+            return pt.tree_add(acc, s), None
+
+        zero = jax.tree.map(jnp.zeros_like, params)
+        total, _ = jax.lax.scan(body, zero, (xcs, ycs))
+        mean_grad = jax.tree.map(lambda g: g / batch, total)
         sigma = noise_multiplier * max_grad_norm / batch
         leaves, treedef = jax.tree.flatten(mean_grad)
         keys = jax.random.split(noise_key, len(leaves))

@@ -72,6 +72,9 @@ class RoundEngineConfig:
     # DP noise via the fused Pallas kernel (None = auto: TPU && no mesh;
     # under a mesh the jnp path is used so XLA can shard the client axis)
     use_pallas_dp: Optional[bool] = None
+    # DP-SGD per-example-grad chunk size: peak memory is
+    # clients × dp_microbatch × |params| (see fl.privacy.make_dp_sgd_grad_fn)
+    dp_microbatch: int = 16
 
 
 @dataclasses.dataclass
@@ -131,6 +134,14 @@ class FederatedRoundEngine:
             if self.privacy else None
         )
         self.accountant = dp.PrivacyAccountant()
+        # DP-SGD mode carries a proper RDP (moments) accountant: ε is
+        # computed from the subsampled-Gaussian composition, not the naive
+        # additive ledger (fl_tpu.fl.accounting)
+        self.rdp_accountant = None
+        if config.dp_mode == "dp_sgd":
+            from fl_tpu.fl.accounting import RDPAccountant
+
+            self.rdp_accountant = RDPAccountant()
 
         # DP-SGD per-step grad transform (per-example clip + noise)
         dp_sgd_fn = None
@@ -144,7 +155,9 @@ class FederatedRoundEngine:
                 return cross_entropy_loss(logits, yb), None
 
             base = dp.make_dp_sgd_grad_fn(
-                loss_fn, self.privacy.max_grad_norm, self.privacy.noise_multiplier
+                loss_fn, self.privacy.max_grad_norm,
+                self.privacy.noise_multiplier,
+                microbatch_size=config.dp_microbatch,
             )
 
             def dp_sgd_fn(grads, params, extra, xb, yb, dkey, nkey):
@@ -280,6 +293,11 @@ class FederatedRoundEngine:
     # ------------------------------------------------------------------
     # host round loop
     # ------------------------------------------------------------------
+    def _steps_per_round(self) -> int:
+        t = self.config.training
+        steps_per_epoch = max(1, self.data.samples_per_client // t.batch_size)
+        return t.local_epochs * steps_per_epoch
+
     def sample_participation(
         self, exclude: Optional[List[int]] = None
     ) -> np.ndarray:
@@ -324,7 +342,20 @@ class FederatedRoundEngine:
         if mask is None:
             mask = self.sample_participation()
         eps_spent = 0.0
-        if self.budget_tracker is not None and cfg.dp_mode != "none":
+        if cfg.dp_mode == "dp_sgd" and self.rdp_accountant is not None:
+            # project the RDP ε after this round; refuse to overdraw
+            import copy
+
+            q = cfg.training.batch_size / max(self.data.samples_per_client, 1)
+            steps = self._steps_per_round()
+            projected = copy.deepcopy(self.rdp_accountant)
+            projected.step(q, self.privacy.noise_multiplier, steps)
+            if projected.get_epsilon(self.privacy.delta) > self.privacy.epsilon:
+                raise dp.PrivacyError(
+                    "Privacy budget exhausted — the next DP-SGD round would "
+                    f"exceed ε={self.privacy.epsilon} (RDP accounting)"
+                )
+        elif self.budget_tracker is not None and cfg.dp_mode != "none":
             eps_r = cfg.epsilon_per_round or self.privacy.epsilon
             del_r = cfg.delta_per_round or self.privacy.delta
             if self.budget_tracker.is_budget_exhausted(eps_r, del_r):
@@ -343,15 +374,30 @@ class FederatedRoundEngine:
         )
         self.global_variables = new_global
 
-        if self.budget_tracker is not None and cfg.dp_mode != "none":
+        if cfg.dp_mode == "dp_sgd" and self.rdp_accountant is not None:
+            q = cfg.training.batch_size / max(self.data.samples_per_client, 1)
+            steps = self._steps_per_round()
+            before = self.rdp_accountant.get_epsilon(self.privacy.delta) \
+                if self.round_number > 0 else 0.0
+            self.rdp_accountant.step(q, self.privacy.noise_multiplier, steps)
+            total_eps = self.rdp_accountant.get_epsilon(self.privacy.delta)
+            eps_spent = total_eps - before
+            self.accountant.add_mechanism(
+                "subsampled_gaussian", eps_spent, 0.0,
+                sensitivity=self.privacy.max_grad_norm,
+                noise_scale=(self.privacy.noise_multiplier
+                             * self.privacy.max_grad_norm
+                             / cfg.training.batch_size),
+                metadata={"round": self.round_number, "mode": "dp_sgd",
+                          "total_epsilon": total_eps, "q": q, "steps": steps},
+            )
+        elif self.budget_tracker is not None and cfg.dp_mode != "none":
             eps_r = cfg.epsilon_per_round or self.privacy.epsilon
             del_r = cfg.delta_per_round or self.privacy.delta
             self.budget_tracker.consume_budget(eps_r, del_r,
                                                f"round_{self.round_number}")
             sigma = float(metrics.get("dp_sigma_mean", 0.0)) \
-                if cfg.dp_mode == "delta" else (
-                    self.privacy.noise_multiplier * self.privacy.max_grad_norm
-                    / cfg.training.batch_size)
+                if cfg.dp_mode == "delta" else 0.0
             self.accountant.add_mechanism(
                 "gaussian", eps_r, del_r,
                 sensitivity=self.privacy.max_grad_norm, noise_scale=sigma,

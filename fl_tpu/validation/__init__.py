@@ -1,0 +1,17 @@
+"""Validation harnesses: statistical DP verification, security heuristics,
+performance/scalability testing.
+
+Parity targets: src/validation/privacy_validator.py and
+performance_validator.py.
+"""
+
+from fl_tpu.validation.privacy_validator import (  # noqa: F401
+    ComprehensiveValidator,
+    PrivacyValidator,
+    SecurityValidator,
+    validate_mnist_federated_learning,
+)
+from fl_tpu.validation.performance_validator import (  # noqa: F401
+    PerformanceRequirements,
+    PerformanceValidator,
+)
