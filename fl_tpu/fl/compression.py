@@ -52,8 +52,7 @@ def _unpack_arrays(data: bytes) -> ModelWeightsNP:
 
 
 class ZlibCompressor:
-    """Lossless byte compressor (fills the reference's LZ4Compressor slot,
-    compression.py:62-122)."""
+    """Lossless byte compressor (stdlib DEFLATE)."""
 
     name = "zlib"
 
@@ -73,6 +72,43 @@ class ZlibCompressor:
     def decompress(self, payload: bytes, metadata: Dict[str, Any]
                    ) -> ModelWeightsNP:
         return _unpack_arrays(zlib.decompress(payload))
+
+
+class LZ4Compressor:
+    """Lossless LZ4-block compressor backed by the first-party native codec
+    (fl_tpu/native/fl_codec.cpp — the slot the reference fills with the
+    third-party lz4 wheel, compression.py:62-122). Falls back to zlib when
+    no C++ toolchain is available; the package metadata records which codec
+    produced the payload so decompression always dispatches correctly."""
+
+    name = "lz4"
+
+    def compress(self, weights: ModelWeightsNP) -> Tuple[bytes, Dict[str, Any]]:
+        from fl_tpu import native
+
+        raw = _pack_arrays(weights)
+        if native.available():
+            comp = native.lz4_compress(raw)
+            backend = "native"
+        else:
+            comp = zlib.compress(raw, 1)
+            backend = "zlib-fallback"
+        return comp, {
+            "algorithm": self.name,
+            "backend": backend,
+            "original_size": len(raw),
+            "compressed_size": len(comp),
+        }
+
+    def decompress(self, payload: bytes, metadata: Dict[str, Any]
+                   ) -> ModelWeightsNP:
+        from fl_tpu import native
+
+        if metadata.get("backend", "native") == "native":
+            raw = native.lz4_decompress(payload)
+        else:
+            raw = zlib.decompress(payload)
+        return _unpack_arrays(raw)
 
 
 class QuantizationCompressor:
@@ -193,7 +229,7 @@ class TopKSparsificationCompressor:
 
 _ALGORITHMS = {
     "zlib": ZlibCompressor,
-    "lz4": ZlibCompressor,  # alias: fills the reference's default slot
+    "lz4": LZ4Compressor,
     "quantization": QuantizationCompressor,
     "top_k": TopKSparsificationCompressor,
 }
