@@ -1,0 +1,142 @@
+"""Engine-over-mesh semantics + proto wire-format golden tests."""
+
+import jax
+import numpy as np
+import pytest
+
+from fl_tpu.core.types import ModelUpdate, PrivacyConfig, RoundConfig
+from fl_tpu.data import load_dataset, make_federated_arrays
+from fl_tpu.fl.local_training import FederatedTrainingConfig
+from fl_tpu.models import create_model
+from fl_tpu.orchestration import FederatedRoundEngine, RoundEngineConfig
+
+
+@pytest.fixture(scope="module")
+def mnist():
+    return load_dataset("mnist", n_train_synth=512, n_test_synth=64)
+
+
+def test_engine_on_mesh_matches_single_device(mnist, mesh8):
+    """The sharded superstep (client axis over 8 devices) must produce the
+    same result as the unsharded one — the multi-chip path is a pure
+    layout change."""
+    def build(mesh):
+        model = create_model("simple_cnn")
+        fa = make_federated_arrays(mnist, num_clients=16, strategy="iid",
+                                   samples_per_client=16, seed=0)
+        cfg = RoundEngineConfig(
+            training=FederatedTrainingConfig(local_epochs=1, batch_size=8),
+            seed=5, max_clients=16,
+        )
+        return FederatedRoundEngine(model, fa, cfg, mesh=mesh)
+
+    single = build(None)
+    sharded = build(mesh8)
+    mask = np.ones(16, np.float32)
+    r1 = single.run_round(mask=mask, evaluate=False)
+    r2 = sharded.run_round(mask=mask, evaluate=False)
+    assert r1.train_loss == pytest.approx(r2.train_loss, rel=1e-5)
+    w1, w2 = single.get_model_weights(), sharded.get_model_weights()
+    for k in w1:
+        np.testing.assert_allclose(np.asarray(w1[k]), np.asarray(w2[k]),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_engine_on_mesh_with_dp(mnist, mesh8):
+    """DP delta mode under the mesh (jnp noise path) runs and stays
+    finite."""
+    model = create_model("simple_cnn")
+    fa = make_federated_arrays(mnist, num_clients=8, strategy="iid",
+                               samples_per_client=16, seed=0)
+    cfg = RoundEngineConfig(
+        training=FederatedTrainingConfig(local_epochs=1, batch_size=8),
+        dp_mode="delta", privacy=PrivacyConfig(1.0, 1e-5),
+        epsilon_per_round=0.5, seed=0, max_clients=8,
+    )
+    eng = FederatedRoundEngine(model, fa, cfg, mesh=mesh8)
+    r = eng.run_round(evaluate=False)
+    assert np.isfinite(r.train_loss)
+    assert all(np.all(np.isfinite(np.asarray(v)))
+               for v in eng.get_model_weights().values())
+
+
+# --- wire-format goldens ---------------------------------------------------------
+
+def test_proto_field_numbers_golden():
+    """Pin the wire contract: field numbers must match the published
+    FederatedLearning service (reference proto/federated_learning.proto).
+    Renumbering breaks interop with deployed clients."""
+    from fl_tpu.services import federated_learning_pb2 as pb
+
+    mu = pb.ModelUpdate.DESCRIPTOR.fields_by_name
+    assert mu["client_id"].number == 1
+    assert mu["round_number"].number == 2
+    assert mu["model_weights"].number == 3
+    assert mu["num_samples"].number == 4
+    assert mu["training_loss"].number == 5
+    assert mu["privacy_budget_used"].number == 6
+    assert mu["compression_ratio"].number == 7
+    assert mu["timestamp"].number == 8
+
+    rc = pb.RoundConfig.DESCRIPTOR.fields_by_name
+    assert rc["round_number"].number == 1
+    assert rc["local_epochs"].number == 4
+    assert rc["batch_size"].number == 5
+    assert rc["learning_rate"].number == 6
+    assert rc["privacy_config"].number == 9
+
+    pc = pb.PrivacyConfig.DESCRIPTOR.fields_by_name
+    assert [pc[k].number for k in
+            ("epsilon", "delta", "max_grad_norm", "noise_multiplier")] == \
+        [1, 2, 3, 4]
+
+    svc = pb.DESCRIPTOR.services_by_name["FederatedLearning"]
+    assert {m.name for m in svc.methods} == {
+        "RegisterClient", "UpdateClientCapabilities", "GetTrainingStatus",
+        "GetGlobalModel", "SubmitModelUpdate", "JoinTrainingRound",
+        "GetRoundConfig", "HealthCheck", "GetMetrics",
+    }
+
+
+def test_model_update_wire_bytes_golden():
+    """A serialized ModelUpdate must decode field-for-field from raw bytes
+    produced with only the field numbers (simulating a foreign client)."""
+    from fl_tpu.services import federated_learning_pb2 as pb
+
+    # handcrafted: field 1 (client_id="c") tag 0x0A, field 4 (num_samples=7)
+    # tag 0x20, field 2 (round=3) tag 0x10
+    raw = bytes([0x0A, 0x01, ord("c"), 0x10, 0x03, 0x20, 0x07])
+    msg = pb.ModelUpdate.FromString(raw)
+    assert msg.client_id == "c"
+    assert msg.round_number == 3
+    assert msg.num_samples == 7
+
+
+def test_converter_update_roundtrip_through_wire():
+    from fl_tpu.services.grpc_utils import ProtobufConverter
+
+    conv = ProtobufConverter()
+    update = ModelUpdate(
+        client_id="wire", round_number=4,
+        model_weights={"w": np.arange(6, dtype=np.float32).reshape(2, 3)},
+        num_samples=42, training_loss=0.25, privacy_budget_used=0.5,
+        compression_ratio=0.9,
+    )
+    blob = conv.model_update_to_proto(update).SerializeToString()
+    from fl_tpu.services import federated_learning_pb2 as pb
+
+    back = conv.model_update_from_proto(pb.ModelUpdate.FromString(blob))
+    assert back.client_id == "wire" and back.num_samples == 42
+    np.testing.assert_array_equal(back.model_weights["w"],
+                                  update.model_weights["w"])
+
+
+def test_round_config_defaults_golden():
+    """Default round config matches the reference deployment defaults
+    (grpc_server.py:453-463 / config/coordinator.yaml:9-13)."""
+    rc = RoundConfig()
+    assert (rc.min_clients, rc.max_clients) == (2, 50)
+    assert (rc.local_epochs, rc.batch_size) == (5, 32)
+    assert rc.learning_rate == pytest.approx(0.001)
+    assert rc.timeout_seconds == 300
+    assert rc.optimizer_type == "adam"
