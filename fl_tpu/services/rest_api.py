@@ -145,6 +145,10 @@ class CoordinatorAPI:
                     fh.include_client(cid)
                     return 200, {"included": cid}
 
+            if path == "/metrics/prometheus" and method == "GET":
+                # Prometheus exposition format (the reference configured a
+                # 9090 metrics port but shipped no exporter — SURVEY.md §5.1)
+                return 200, {"__raw_text__": self._prometheus_text()}
             if path == "/metrics" and method == "GET":
                 return 200, mc.get_training_progress()
             if path == "/metrics/system" and method == "GET":
@@ -200,6 +204,42 @@ class CoordinatorAPI:
             logger.exception("REST handler error")
             return 500, {"error": str(e)}
 
+    def _prometheus_text(self) -> str:
+        """Render coordinator metrics in Prometheus exposition format."""
+        rm, mc = self.round_manager, self.metrics
+        status = rm.get_training_status()
+        sysm = mc.get_system_summary()
+        prog = mc.get_training_progress()
+        lines = [
+            "# TYPE fl_current_round gauge",
+            f"fl_current_round {status['current_round']}",
+            "# TYPE fl_registered_clients gauge",
+            f"fl_registered_clients {status['registered_clients']}",
+            "# TYPE fl_completed_rounds counter",
+            f"fl_completed_rounds {status['completed_rounds']}",
+            "# TYPE fl_failed_rounds counter",
+            f"fl_failed_rounds {status['failed_rounds']}",
+            "# TYPE fl_global_accuracy gauge",
+            f"fl_global_accuracy {status['global_accuracy']}",
+            "# TYPE fl_convergence_score gauge",
+            f"fl_convergence_score {status['convergence_score']}",
+            "# TYPE fl_avg_round_time_seconds gauge",
+            f"fl_avg_round_time_seconds {status['avg_round_time']}",
+        ]
+        if prog.get("rounds_completed"):
+            lines += [
+                "# TYPE fl_latest_loss gauge",
+                f"fl_latest_loss {prog['latest_loss']}",
+            ]
+        if sysm:
+            lines += [
+                "# TYPE fl_cpu_percent gauge",
+                f"fl_cpu_percent {sysm.get('cpu_percent', 0)}",
+                "# TYPE fl_memory_percent gauge",
+                f"fl_memory_percent {sysm.get('memory_percent', 0)}",
+            ]
+        return "\n".join(lines) + "\n"
+
     # -- server lifecycle (ref: start_server/_run_server,
     #    rest_api.py:106-147 — Flask in a daemon thread) --------------------
     def start_server(self) -> int:
@@ -220,6 +260,15 @@ class CoordinatorAPI:
                 self._write(code, payload)
 
             def _write(self, code: int, payload: Dict[str, Any]) -> None:
+                if "__raw_text__" in payload:  # prometheus exposition
+                    data = payload["__raw_text__"].encode()
+                    self.send_response(code)
+                    self.send_header("Content-Type",
+                                     "text/plain; version=0.0.4")
+                    self.send_header("Content-Length", str(len(data)))
+                    self.end_headers()
+                    self.wfile.write(data)
+                    return
                 data = json.dumps(payload, default=str).encode()
                 self.send_response(code)
                 self.send_header("Content-Type", "application/json")

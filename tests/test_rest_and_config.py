@@ -126,6 +126,18 @@ def test_failures_and_admin_routes(api):
     assert isinstance(body["logs"], list)
 
 
+def test_prometheus_exposition(api):
+    _, port = api
+    with urllib.request.urlopen(
+        f"http://127.0.0.1:{port}/metrics/prometheus", timeout=5
+    ) as r:
+        assert r.status == 200
+        assert "text/plain" in r.headers["Content-Type"]
+        text = r.read().decode()
+    assert "fl_current_round" in text
+    assert "# TYPE fl_registered_clients gauge" in text
+
+
 def test_unknown_route_404(api):
     _, port = api
     with pytest.raises(urllib.error.HTTPError) as e:
