@@ -86,6 +86,9 @@ def main() -> None:
     compile_s = time.perf_counter() - t0
     print(f"warmup (incl. compile): {compile_s:.1f}s", file=sys.stderr)
 
+    # sequential dispatch measures slightly faster than the fused
+    # lax.scan at this round granularity (~1 s/round); run_rounds_fused
+    # exists for dispatch-bound scales (docs/performance.md)
     t0 = time.perf_counter()
     for _ in range(TIMED_ROUNDS):
         engine.run_round(evaluate=False)

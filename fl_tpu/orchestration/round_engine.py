@@ -199,6 +199,7 @@ class FederatedRoundEngine:
         )
         self.history: List[RoundResult] = []
         self.detector = ConvergenceDetector()
+        self._fused_rounds_fn = None
 
     # ------------------------------------------------------------------
     # the superstep
@@ -471,6 +472,128 @@ class FederatedRoundEngine:
                     logger.info("Early stopping: %s", reason)
                     break
         return self.history
+
+    # ------------------------------------------------------------------
+    # fused multi-round execution
+    # ------------------------------------------------------------------
+    def run_rounds_fused(
+        self,
+        num_rounds: int,
+        masks: Optional[np.ndarray] = None,
+        evaluate: bool = True,
+    ) -> List[RoundResult]:
+        """Run ``num_rounds`` FedAvg rounds as ONE compiled ``lax.scan`` —
+        zero host round trips between rounds.
+
+        The per-round host control plane (participation sampling, budget
+        checks) moves up front: masks are sampled for all rounds first and
+        shipped as an (R, C) array; DP budget for all R rounds is checked
+        and consumed in one transaction. Convergence detection consumes the
+        returned per-round series afterwards. This amortizes dispatch
+        latency (significant on remote-attached TPUs) and is the natural
+        shape for throughput benchmarking (BASELINE config #5).
+        """
+        cfg = self.config
+        if masks is None:
+            masks = np.stack([self.sample_participation()
+                              for _ in range(num_rounds)])
+        masks = np.asarray(masks, np.float32)
+        assert masks.shape == (num_rounds, self.num_clients)
+
+        # budget: all R rounds up front
+        eps_r = del_r = 0.0
+        if cfg.dp_mode == "dp_sgd" and self.rdp_accountant is not None:
+            import copy
+
+            q = cfg.training.batch_size / max(self.data.samples_per_client, 1)
+            steps = self._steps_per_round()
+            projected = copy.deepcopy(self.rdp_accountant)
+            projected.step(q, self.privacy.noise_multiplier,
+                           steps * num_rounds)
+            if projected.get_epsilon(self.privacy.delta) > self.privacy.epsilon:
+                raise dp.PrivacyError(
+                    f"{num_rounds} DP-SGD rounds would exceed "
+                    f"ε={self.privacy.epsilon} (RDP accounting)"
+                )
+        elif self.budget_tracker is not None and cfg.dp_mode != "none":
+            eps_r = cfg.epsilon_per_round or self.privacy.epsilon
+            del_r = cfg.delta_per_round or self.privacy.delta
+            if self.budget_tracker.is_budget_exhausted(eps_r * num_rounds,
+                                                       del_r * num_rounds):
+                raise dp.PrivacyError(
+                    f"{num_rounds} DP rounds would exhaust the privacy budget"
+                )
+
+        if getattr(self, "_fused_rounds_fn", None) is None:
+            superstep = self._build_superstep()
+
+            def fused(global_vars, start_round, masks_arr, epochs,
+                      images, labels, num_samples):
+                def body(gv, rm):
+                    round_idx, mask = rm
+                    new_gv, metrics = superstep(
+                        gv, round_idx, mask, epochs, images, labels,
+                        num_samples,
+                    )
+                    keep = {k: metrics[k] for k in
+                            ("train_loss", "train_accuracy",
+                             "weight_change_norm", "weight_norm")}
+                    return new_gv, keep
+
+                rounds = start_round + jnp.arange(masks_arr.shape[0],
+                                                  dtype=jnp.int32)
+                return jax.lax.scan(body, global_vars, (rounds, masks_arr))
+
+            self._fused_rounds_fn = jax.jit(fused)
+
+        t0 = time.perf_counter()
+        new_global, series = self._fused_rounds_fn(
+            self.global_variables,
+            jnp.asarray(self.round_number, jnp.int32),
+            jnp.asarray(masks),
+            jnp.asarray(self.epochs_per_client),
+            self.data.images, self.data.labels, self.data.num_samples,
+        )
+        series = {k: np.asarray(v) for k, v in series.items()}  # host sync
+        total_t = time.perf_counter() - t0
+        self.global_variables = new_global
+
+        # host bookkeeping per round (metrics already on host)
+        results: List[RoundResult] = []
+        for i in range(num_rounds):
+            if self.budget_tracker is not None and cfg.dp_mode == "delta":
+                self.budget_tracker.consume_budget(
+                    eps_r, del_r, f"round_{self.round_number}")
+            obs = RoundObservation(
+                round_number=self.round_number,
+                accuracy=float(series["train_accuracy"][i]),
+                loss=float(series["train_loss"][i]),
+                weight_change_norm=float(series["weight_change_norm"][i]),
+                weight_norm=float(series["weight_norm"][i]),
+            )
+            conv = self.detector.update(obs)
+            results.append(RoundResult(
+                round_number=self.round_number,
+                train_loss=float(series["train_loss"][i]),
+                train_accuracy=float(series["train_accuracy"][i]),
+                test_loss=None, test_accuracy=None,
+                convergence_score=conv.convergence_score,
+                participating_clients=int(masks[i].sum()),
+                round_time_s=total_t / num_rounds,
+                epsilon_spent=eps_r,
+            ))
+            self.round_number += 1
+        if cfg.dp_mode == "dp_sgd" and self.rdp_accountant is not None:
+            q = cfg.training.batch_size / max(self.data.samples_per_client, 1)
+            self.rdp_accountant.step(q, self.privacy.noise_multiplier,
+                                     self._steps_per_round() * num_rounds)
+        if evaluate and self._eval_fn is not None:
+            ev = self._eval_fn(self.global_variables, self.test_images,
+                               self.test_labels)
+            results[-1].test_loss = float(ev["loss"])
+            results[-1].test_accuracy = float(ev["accuracy"])
+        self.history.extend(results)
+        return results
 
     # ------------------------------------------------------------------
     def evaluate(self) -> Dict[str, float]:
