@@ -11,7 +11,7 @@ uint8 and augmentation costs no host round trips.
 
 from __future__ import annotations
 
-from typing import Callable, Tuple
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
