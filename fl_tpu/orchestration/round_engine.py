@@ -596,6 +596,18 @@ class FederatedRoundEngine:
         return results
 
     # ------------------------------------------------------------------
+    def profile_round(self, trace_dir: str,
+                      mask: Optional[np.ndarray] = None) -> RoundResult:
+        """Run one round under ``jax.profiler.trace`` (SURVEY.md §5.1: the
+        reference has no tracer; here per-round XLA traces are one call
+        away — view with TensorBoard or Perfetto)."""
+        with jax.profiler.trace(trace_dir):
+            result = self.run_round(mask=mask, evaluate=False)
+        logger.info("profiler trace for round %d written to %s",
+                    result.round_number, trace_dir)
+        return result
+
+    # ------------------------------------------------------------------
     def evaluate(self) -> Dict[str, float]:
         if self._eval_fn is None:
             raise ValueError("No test set configured")
