@@ -82,6 +82,7 @@ class CoordinatorService:
             failure_handler=self.failure_handler,
             host=server_cfg.get("host", "0.0.0.0"),
             port=int(server_cfg.get("http_port", 8080)),
+            grpc_servicer=servicer,
         )
         self.rest_api.start_server()
         logger.info("coordinator up: gRPC :%d, REST :%d",

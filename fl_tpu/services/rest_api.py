@@ -73,10 +73,15 @@ class CoordinatorAPI:
         failure_handler: Optional[FailureHandler] = None,
         host: str = "0.0.0.0",
         port: int = 8080,
+        grpc_servicer=None,
     ):
         self.round_manager = round_manager or RoundManager()
         self.metrics = metrics or MetricsCollector()
         self.failure_handler = failure_handler or FailureHandler()
+        # optional bridge to the gRPC servicer's own round/client state
+        # (the reference keeps the two views fully disjoint — its REST API
+        # cannot see gRPC-registered clients at all; SURVEY.md appendix)
+        self.grpc_servicer = grpc_servicer
         self.host = host
         self.port = port
         self._server: Optional[ThreadingHTTPServer] = None
@@ -97,11 +102,25 @@ class CoordinatorAPI:
                              "uptime_s": time.time() - self.started_at,
                              "timestamp": time.time()}
             if method == "GET" and path == "/status":
-                return 200, {
+                payload = {
                     "coordinator": "running",
                     "training": rm.get_training_status(),
                     "system": mc.get_system_summary(),
                 }
+                if self.grpc_servicer is not None:
+                    s = self.grpc_servicer
+                    payload["grpc"] = {
+                        "current_round": s.current_round,
+                        "registered_clients": sorted(s.clients),
+                        "pending_updates": len(
+                            s.pending_updates.get(s.current_round, {})
+                        ),
+                        "global_model_round": (
+                            s.global_model.round_number
+                            if s.global_model else None
+                        ),
+                    }
+                return 200, payload
             if path == "/training/status" and method == "GET":
                 return 200, rm.get_training_status()
             if path == "/training/start" and method == "POST":
