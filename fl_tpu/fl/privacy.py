@@ -149,6 +149,39 @@ def dp_noise_client_deltas(
 
 
 # ---------------------------------------------------------------------------
+# Device path — client-level DP (central aggregator noise)
+# ---------------------------------------------------------------------------
+
+def clip_client_deltas(stacked_deltas: Any, max_norm: float
+                       ) -> Tuple[Any, jax.Array]:
+    """Clip each client's delta to global L2 norm ≤ C (no per-client noise).
+    Returns (clipped stacked deltas, per-client pre-clip norms)."""
+
+    def one(tree):
+        clipped, _ = pt.clip_by_global_norm(tree, max_norm)
+        return clipped
+
+    norms = jax.vmap(pt.global_norm)(stacked_deltas)
+    return jax.vmap(one)(stacked_deltas), norms
+
+
+def central_noise_tree(tree: Any, key: jax.Array, sigma) -> Any:
+    """Add N(0, σ²) to every element of a (non-stacked) pytree — the
+    aggregator-side noise of client-level DP-FedAvg (McMahan et al. 2018:
+    uniform-mean of C-clipped client updates has sensitivity C/m, so
+    σ = z·C/m gives the subsampled-Gaussian guarantee at client level,
+    accounted with q = participation rate per round)."""
+    leaves, treedef = jax.tree.flatten(tree)
+    keys = jax.random.split(key, len(leaves))
+    noisy = [
+        leaf + sigma * jax.random.normal(k, leaf.shape, jnp.float32
+                                         ).astype(leaf.dtype)
+        for leaf, k in zip(leaves, keys)
+    ]
+    return jax.tree.unflatten(treedef, noisy)
+
+
+# ---------------------------------------------------------------------------
 # Device path — per-example DP-SGD mode
 # ---------------------------------------------------------------------------
 

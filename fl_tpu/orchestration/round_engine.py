@@ -58,7 +58,12 @@ class RoundEngineConfig:
     )
     min_clients: int = 2
     max_clients: int = 50
-    # DP: "none" | "delta" (reference semantics) | "dp_sgd" (per-example)
+    # DP: "none"
+    #   | "delta"     reference semantics: per-client delta clip + noise
+    #   | "dp_sgd"    per-example clipping inside every local step
+    #   | "client_dp" client-level DP-FedAvg: clip client deltas to C,
+    #                 uniform mean, central noise σ = z·C/m on the aggregate,
+    #                 RDP-accounted with q = participation rate per round
     dp_mode: str = "none"
     privacy: Optional[PrivacyConfig] = None
     epsilon_per_round: Optional[float] = None  # default: privacy.epsilon
@@ -138,7 +143,7 @@ class FederatedRoundEngine:
         # computed from the subsampled-Gaussian composition, not the naive
         # additive ledger (fl_tpu.fl.accounting)
         self.rdp_accountant = None
-        if config.dp_mode == "dp_sgd":
+        if config.dp_mode in ("dp_sgd", "client_dp"):
             from fl_tpu.fl.accounting import RDPAccountant
 
             self.rdp_accountant = RDPAccountant()
@@ -256,21 +261,50 @@ class FederatedRoundEngine:
                 )
                 metrics = dict(metrics, dp_sensitivity=sens, dp_sigma=sigma)
 
-            # FedAvg: sample-weighted, participation-masked; non-participants
-            # contribute the *global* model (delta form), so a partial round
-            # moves only by the participants' weighted deltas
-            agg_src = new_stacked
-            if not cfg.aggregate_batch_stats and "batch_stats" in agg_src:
-                agg_src = dict(agg_src)
-                agg_src["batch_stats"] = jax.tree.map(
-                    lambda x: jnp.broadcast_to(
-                        jnp.expand_dims(x, 0), (C,) + x.shape
-                    ),
-                    global_vars["batch_stats"],
+            if dp_mode == "client_dp":
+                # client-level DP-FedAvg: clip each participant's delta to C,
+                # UNIFORM mean over participants (bounded per-client
+                # influence C/m), central Gaussian noise σ = z·C/m
+                deltas = jax.tree.map(
+                    lambda c, g: c - g[None], new_stacked, global_vars
                 )
-            new_global = fa.fedavg_delta(
-                global_vars, agg_src, num_samples, mask
-            )
+                clipped, pre_norms = dp.clip_client_deltas(deltas, max_norm)
+                m = jnp.maximum(mask.sum(), 1.0)
+                avg_delta = jax.tree.map(
+                    lambda d: jnp.tensordot(
+                        mask.astype(jnp.float32), d.astype(jnp.float32),
+                        axes=1) / m,
+                    clipped,
+                )
+                sigma = (self.privacy.noise_multiplier * max_norm) / m
+                nkey = prng.stream_key(
+                    prng.round_key(self._root_key, round_idx),
+                    prng.Stream.DP_NOISE,
+                )
+                noisy_delta = dp.central_noise_tree(avg_delta, nkey, sigma)
+                new_global = jax.tree.map(
+                    lambda g, d: (g + d.astype(jnp.float32)).astype(g.dtype),
+                    global_vars, noisy_delta,
+                )
+                metrics = dict(metrics, dp_sigma=jnp.broadcast_to(sigma, (C,)),
+                               dp_sensitivity=pre_norms)
+            else:
+                # FedAvg: sample-weighted, participation-masked;
+                # non-participants contribute the *global* model (delta
+                # form), so a partial round moves only by the participants'
+                # weighted deltas
+                agg_src = new_stacked
+                if not cfg.aggregate_batch_stats and "batch_stats" in agg_src:
+                    agg_src = dict(agg_src)
+                    agg_src["batch_stats"] = jax.tree.map(
+                        lambda x: jnp.broadcast_to(
+                            jnp.expand_dims(x, 0), (C,) + x.shape
+                        ),
+                        global_vars["batch_stats"],
+                    )
+                new_global = fa.fedavg_delta(
+                    global_vars, agg_src, num_samples, mask
+                )
 
             # convergence norms (device-side; host detector consumes scalars)
             w_change = pt.global_norm(pt.tree_sub(new_global, global_vars))
@@ -285,7 +319,7 @@ class FederatedRoundEngine:
                 "client_loss": metrics["loss"],
                 "client_accuracy": metrics["accuracy"],
             }
-            if dp_mode == "delta":
+            if dp_mode in ("delta", "client_dp"):
                 out_metrics["dp_sigma_mean"] = metrics["dp_sigma"].mean()
             return new_global, out_metrics
 
@@ -298,6 +332,18 @@ class FederatedRoundEngine:
         t = self.config.training
         steps_per_epoch = max(1, self.data.samples_per_client // t.batch_size)
         return t.local_epochs * steps_per_epoch
+
+    def _rdp_round_params(self) -> Tuple[float, int]:
+        """(sampling rate q, mechanism invocations) for one round's RDP step.
+
+        dp_sgd: example-level — q = batch/shard, one invocation per local
+        step. client_dp: client-level — q = participation rate, ONE
+        invocation per round (the central noised aggregate)."""
+        cfg = self.config
+        if cfg.dp_mode == "client_dp":
+            return min(1.0, cfg.participation_rate), 1
+        q = cfg.training.batch_size / max(self.data.samples_per_client, 1)
+        return q, self._steps_per_round()
 
     def sample_participation(
         self, exclude: Optional[List[int]] = None
@@ -343,18 +389,19 @@ class FederatedRoundEngine:
         if mask is None:
             mask = self.sample_participation()
         eps_spent = 0.0
-        if cfg.dp_mode == "dp_sgd" and self.rdp_accountant is not None:
+        if (cfg.dp_mode in ("dp_sgd", "client_dp")
+                and self.rdp_accountant is not None):
             # project the RDP ε after this round; refuse to overdraw
             import copy
 
-            q = cfg.training.batch_size / max(self.data.samples_per_client, 1)
-            steps = self._steps_per_round()
+            q, steps = self._rdp_round_params()
             projected = copy.deepcopy(self.rdp_accountant)
             projected.step(q, self.privacy.noise_multiplier, steps)
             if projected.get_epsilon(self.privacy.delta) > self.privacy.epsilon:
                 raise dp.PrivacyError(
-                    "Privacy budget exhausted — the next DP-SGD round would "
-                    f"exceed ε={self.privacy.epsilon} (RDP accounting)"
+                    f"Privacy budget exhausted — the next {cfg.dp_mode} "
+                    f"round would exceed ε={self.privacy.epsilon} "
+                    "(RDP accounting)"
                 )
         elif self.budget_tracker is not None and cfg.dp_mode != "none":
             eps_r = cfg.epsilon_per_round or self.privacy.epsilon
@@ -375,9 +422,9 @@ class FederatedRoundEngine:
         )
         self.global_variables = new_global
 
-        if cfg.dp_mode == "dp_sgd" and self.rdp_accountant is not None:
-            q = cfg.training.batch_size / max(self.data.samples_per_client, 1)
-            steps = self._steps_per_round()
+        if (cfg.dp_mode in ("dp_sgd", "client_dp")
+                and self.rdp_accountant is not None):
+            q, steps = self._rdp_round_params()
             before = self.rdp_accountant.get_epsilon(self.privacy.delta) \
                 if self.round_number > 0 else 0.0
             self.rdp_accountant.step(q, self.privacy.noise_multiplier, steps)
@@ -386,10 +433,12 @@ class FederatedRoundEngine:
             self.accountant.add_mechanism(
                 "subsampled_gaussian", eps_spent, 0.0,
                 sensitivity=self.privacy.max_grad_norm,
-                noise_scale=(self.privacy.noise_multiplier
-                             * self.privacy.max_grad_norm
-                             / cfg.training.batch_size),
-                metadata={"round": self.round_number, "mode": "dp_sgd",
+                noise_scale=float(metrics.get("dp_sigma_mean", 0.0))
+                if cfg.dp_mode == "client_dp"
+                else (self.privacy.noise_multiplier
+                      * self.privacy.max_grad_norm
+                      / cfg.training.batch_size),
+                metadata={"round": self.round_number, "mode": cfg.dp_mode,
                           "total_epsilon": total_eps, "q": q, "steps": steps},
             )
         elif self.budget_tracker is not None and cfg.dp_mode != "none":
@@ -502,17 +551,17 @@ class FederatedRoundEngine:
 
         # budget: all R rounds up front
         eps_r = del_r = 0.0
-        if cfg.dp_mode == "dp_sgd" and self.rdp_accountant is not None:
+        if (cfg.dp_mode in ("dp_sgd", "client_dp")
+                and self.rdp_accountant is not None):
             import copy
 
-            q = cfg.training.batch_size / max(self.data.samples_per_client, 1)
-            steps = self._steps_per_round()
+            q, steps = self._rdp_round_params()
             projected = copy.deepcopy(self.rdp_accountant)
             projected.step(q, self.privacy.noise_multiplier,
                            steps * num_rounds)
             if projected.get_epsilon(self.privacy.delta) > self.privacy.epsilon:
                 raise dp.PrivacyError(
-                    f"{num_rounds} DP-SGD rounds would exceed "
+                    f"{num_rounds} {cfg.dp_mode} rounds would exceed "
                     f"ε={self.privacy.epsilon} (RDP accounting)"
                 )
         elif self.budget_tracker is not None and cfg.dp_mode != "none":
@@ -583,10 +632,11 @@ class FederatedRoundEngine:
                 epsilon_spent=eps_r,
             ))
             self.round_number += 1
-        if cfg.dp_mode == "dp_sgd" and self.rdp_accountant is not None:
-            q = cfg.training.batch_size / max(self.data.samples_per_client, 1)
+        if (cfg.dp_mode in ("dp_sgd", "client_dp")
+                and self.rdp_accountant is not None):
+            q, steps = self._rdp_round_params()
             self.rdp_accountant.step(q, self.privacy.noise_multiplier,
-                                     self._steps_per_round() * num_rounds)
+                                     steps * num_rounds)
         if evaluate and self._eval_fn is not None:
             ev = self._eval_fn(self.global_variables, self.test_images,
                                self.test_labels)
