@@ -112,6 +112,13 @@ class FederatedRoundEngine:
         self.config = config
         self.mesh = mesh
         self.num_clients = data.num_clients
+        if mesh is not None and self.num_clients % mesh.devices.size != 0:
+            raise ValueError(
+                f"num_clients={self.num_clients} must divide evenly over the "
+                f"{mesh.devices.size}-device mesh; pad the client count "
+                "(fl_tpu.core.mesh.pad_to_multiple) — surplus slots can be "
+                "masked out of participation"
+            )
 
         # device placement: client-stacked leaves sharded over the mesh,
         # global model replicated
