@@ -6,4 +6,40 @@ src/shared/ (privacy.py, privacy_config.py, compression.py, training.py,
 data_loader.py partitioning).
 """
 
+from fl_tpu.fl.accounting import (  # noqa: F401
+    RDPAccountant,
+    calibrate_noise_multiplier,
+    compute_epsilon,
+)
+from fl_tpu.fl.compression import (  # noqa: F401
+    ModelCompressionService,
+    create_compression_service,
+)
+from fl_tpu.fl.convergence import (  # noqa: F401
+    AdaptiveConvergenceDetector,
+    ConvergenceDetector,
+)
+from fl_tpu.fl.fedavg import (  # noqa: F401
+    AdaptiveFedAvg,
+    FedAvgAggregator,
+    create_fedavg_aggregator,
+    fedavg_delta,
+    fedavg_stacked,
+)
+from fl_tpu.fl.local_training import (  # noqa: F401
+    FederatedTrainingConfig,
+    create_adaptive_config,
+    make_eval_fn,
+    make_local_train_fn,
+)
 from fl_tpu.fl.partition import DataPartitioner, partition_indices  # noqa: F401
+from fl_tpu.fl.privacy import (  # noqa: F401
+    DifferentialPrivacyEngine,
+    PrivacyAccountant,
+    PrivacyBudgetTracker,
+    create_privacy_engine,
+)
+from fl_tpu.fl.privacy_config import (  # noqa: F401
+    PrivacyConfigManager,
+    PrivacyLevel,
+)
