@@ -168,9 +168,9 @@ def make_local_train_fn(
         def epoch_body(carry, epoch_idx):
             params, extra, opt_state = carry
             ekey = jax.random.fold_in(shuffle_key, epoch_idx)
-            perm = jax.random.permutation(ekey, samples_per_client)
+            perm_raw = jax.random.permutation(ekey, samples_per_client)
             # remap padded slots into the valid region (keeps batches dense)
-            perm = jnp.where(perm < n, perm, perm % n)
+            perm = jnp.where(perm_raw < n, perm_raw, perm_raw % n)
             active = epoch_idx < epochs  # heterogeneous epoch budgets
 
             def step_body(carry, step_idx):
@@ -190,8 +190,21 @@ def make_local_train_fn(
                     params, extra, xb, yb, dkey
                 )
                 if dp_sgd_fn is not None:
+                    # DP-SGD batches must NOT remap padded slots onto real
+                    # examples — a duplicated example would participate in
+                    # several noised contributions per epoch (and up to
+                    # twice in one batch), exceeding the accounted
+                    # sensitivity/q. Instead padded slots are masked to a
+                    # zero contribution: each real example then lands in
+                    # exactly one uniformly-random slot per epoch, so the
+                    # per-step inclusion probability is exactly
+                    # batch/samples_per_client — the q the accountant uses.
+                    idx_raw = jax.lax.dynamic_slice(
+                        perm_raw, (step_idx * batch,), (batch,)
+                    )
+                    wmask = (idx_raw < n).astype(jnp.float32)
                     grads = dp_sgd_fn(
-                        grads, params, extra, xb, yb, dkey,
+                        grads, params, extra, xb, yb, wmask, dkey,
                         jax.random.fold_in(
                             prng.stream_key(rng, prng.Stream.DP_NOISE),
                             epoch_idx * steps_per_epoch + step_idx,

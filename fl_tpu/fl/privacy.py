@@ -196,7 +196,11 @@ def make_dp_sgd_grad_fn(
     ``loss_fn(params, extra_vars, xb, yb, dropout_key) -> (loss, aux)`` is the
     same loss used for plain training. The returned function computes
     per-example gradients, clips each example's global grad norm to C,
-    averages, and adds N(0, (z·C/B)²) noise.
+    zeroes examples whose ``wmask`` entry is 0 (padded shard slots — see
+    fl_tpu.fl.local_training: masking instead of remapping keeps each real
+    example's per-step inclusion probability at exactly batch/shard_len,
+    matching the accountant's q), averages over the FIXED batch size B, and
+    adds N(0, (z·C/B)²) noise — so masked slots never weaken the mechanism.
 
     Memory discipline: per-example gradients are |params|×B floats — at
     hundreds of vmapped clients they would exceed HBM. The batch is
@@ -211,8 +215,9 @@ def make_dp_sgd_grad_fn(
     against.
     """
 
-    def chunk_clipped_sum(params, extra, xc, yc, dkey):
-        """Sum of per-example clipped grads for one (m, ...) chunk."""
+    def chunk_clipped_sum(params, extra, xc, yc, wc, dkey):
+        """Sum of per-example clipped (and mask-weighted) grads for one
+        (m, ...) chunk."""
         m = xc.shape[0]
 
         def one(x, y):
@@ -225,11 +230,12 @@ def make_dp_sgd_grad_fn(
               for g in jax.tree.leaves(grads)]
         norms = jnp.sqrt(jnp.sum(jnp.stack(sq), axis=0))
         scale = jnp.minimum(1.0, max_grad_norm / jnp.maximum(norms, 1e-12))
+        scale = scale * wc  # padded slots contribute exactly zero
         return jax.tree.map(
             lambda g: jnp.tensordot(scale, g, axes=1), grads
         )
 
-    def dp_grad(params, extra, xb, yb, dkey, noise_key):
+    def dp_grad(params, extra, xb, yb, wmask, dkey, noise_key):
         batch = xb.shape[0]
         m = min(microbatch_size, batch)
         n_chunks = batch // m
@@ -238,14 +244,15 @@ def make_dp_sgd_grad_fn(
         )
         xcs = xb.reshape((n_chunks, m) + xb.shape[1:])
         ycs = yb.reshape((n_chunks, m) + yb.shape[1:])
+        wcs = jnp.asarray(wmask, jnp.float32).reshape((n_chunks, m))
 
-        def body(acc, xy):
-            xc, yc = xy
-            s = chunk_clipped_sum(params, extra, xc, yc, dkey)
+        def body(acc, xyw):
+            xc, yc, wc = xyw
+            s = chunk_clipped_sum(params, extra, xc, yc, wc, dkey)
             return pt.tree_add(acc, s), None
 
         zero = jax.tree.map(jnp.zeros_like, params)
-        total, _ = jax.lax.scan(body, zero, (xcs, ycs))
+        total, _ = jax.lax.scan(body, zero, (xcs, ycs, wcs))
         mean_grad = jax.tree.map(lambda g: g / batch, total)
         sigma = noise_multiplier * max_grad_norm / batch
         leaves, treedef = jax.tree.flatten(mean_grad)

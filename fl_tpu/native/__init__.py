@@ -98,6 +98,10 @@ def lz4_decompress(blob: bytes) -> bytes:
     if blob[:4] != MAGIC:
         raise ValueError("not an fl_tpu lz4 payload")
     orig = int.from_bytes(blob[4:8], "little")
+    # the header is untrusted: LZ4's maximum ratio is ~255×, so a declared
+    # size beyond that is malformed (and would otherwise be a memory-DoS)
+    if orig > 255 * max(len(blob) - 8, 1) + 64:
+        raise ValueError("declared decompressed size exceeds LZ4 bound")
     out = (ctypes.c_uint8 * orig)()
     n = lib.fl_lz4_decompress(blob[8:], len(blob) - 8, out, orig)
     if n != orig:

@@ -154,53 +154,66 @@ int fl_lz4_compress(const uint8_t* src, int src_len, uint8_t* dst,
 }
 
 // returns decompressed size, or -1 on malformed input / overflow
+//
+// Lengths accumulate in int64_t and every bound compares lengths against
+// remaining space (never `ptr + len > end`, which overflows the pointer —
+// UB — once a hostile stream stacks enough 0xFF continuation bytes). An
+// accumulated length can never validly exceed dst_cap (output side) or the
+// remaining input, so each continuation loop also bails as soon as the
+// length passes a hard cap — bounding both the loop and the accumulator on
+// attacker-controlled payloads (compressed client updates are untrusted
+// input to the coordinator's compression service).
 int fl_lz4_decompress(const uint8_t* src, int src_len, uint8_t* dst,
                       int dst_cap) {
+  if (src_len < 0 || dst_cap < 0) return -1;
   const uint8_t* ip = src;
   const uint8_t* const iend = src + src_len;
   uint8_t* op = dst;
   uint8_t* const oend = dst + dst_cap;
+  const int64_t len_cap = static_cast<int64_t>(dst_cap);
 
   while (ip < iend) {
     uint8_t token = *ip++;
 
     // literals
-    int literal_len = token >> 4;
+    int64_t literal_len = token >> 4;
     if (literal_len == 15) {
       uint8_t b;
       do {
         if (ip >= iend) return -1;
         b = *ip++;
         literal_len += b;
+        if (literal_len > len_cap) return -1;
       } while (b == 255);
     }
-    if (ip + literal_len > iend || op + literal_len > oend) return -1;
-    std::memcpy(op, ip, literal_len);
+    if (literal_len > iend - ip || literal_len > oend - op) return -1;
+    std::memcpy(op, ip, static_cast<size_t>(literal_len));
     ip += literal_len;
     op += literal_len;
 
     if (ip >= iend) break;  // final literal-only sequence
 
     // match
-    if (ip + 2 > iend) return -1;
+    if (iend - ip < 2) return -1;
     int offset = ip[0] | (ip[1] << 8);
     ip += 2;
     if (offset == 0 || op - dst < offset) return -1;
 
-    int match_len = (token & 0x0F) + kMinMatch;
+    int64_t match_len = (token & 0x0F) + kMinMatch;
     if ((token & 0x0F) == 15) {
       uint8_t b;
       do {
         if (ip >= iend) return -1;
         b = *ip++;
         match_len += b;
+        if (match_len > len_cap) return -1;
       } while (b == 255);
     }
-    if (op + match_len > oend) return -1;
+    if (match_len > oend - op) return -1;
     const uint8_t* match = op - offset;
     // byte-wise copy: overlapping matches are the RLE case and must copy
     // forward one byte at a time
-    for (int i = 0; i < match_len; ++i) op[i] = match[i];
+    for (int64_t i = 0; i < match_len; ++i) op[i] = match[i];
     op += match_len;
   }
   return static_cast<int>(op - dst);

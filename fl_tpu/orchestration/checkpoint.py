@@ -42,6 +42,10 @@ class CheckpointManager:
              host_state: Optional[Dict[str, Any]] = None) -> Path:
         path = self._step_dir(step)
         self._ckpt.save(path / "variables", variables, force=True)
+        # orbax ≥0.11: StandardCheckpointer is an AsyncCheckpointer — the
+        # directory commit happens on a background thread; block until it
+        # lands so save() means "durably on disk"
+        self._ckpt.wait_until_finished()
         meta = {
             "version": CHECKPOINT_VERSION,
             "round_number": step,
@@ -110,6 +114,10 @@ def save_engine_checkpoint(engine, directory: str) -> Path:
     }
     if engine.budget_tracker is not None:
         host_state["privacy_budget"] = engine.budget_tracker.state_dict()
+    if getattr(engine, "rdp_accountant", None) is not None:
+        # without this a resumed dp_sgd/client_dp run would restart RDP
+        # accounting from zero and silently overdraw the ε bound
+        host_state["rdp_accountant"] = engine.rdp_accountant.state_dict()
     return mgr.save(engine.round_number, engine.global_variables, host_state)
 
 
@@ -127,6 +135,8 @@ def restore_engine_checkpoint(engine, directory: str,
     hs = state["host_state"]
     if "privacy_budget" in hs and engine.budget_tracker is not None:
         engine.budget_tracker.load_state_dict(hs["privacy_budget"])
+    if "rdp_accountant" in hs and getattr(engine, "rdp_accountant", None) is not None:
+        engine.rdp_accountant.load_state_dict(hs["rdp_accountant"])
     det = hs.get("detector", {})
     engine.detector.best_accuracy = det.get("best_accuracy", 0.0)
     bl = det.get("best_loss")

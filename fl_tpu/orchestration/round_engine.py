@@ -172,9 +172,9 @@ class FederatedRoundEngine:
                 microbatch_size=config.dp_microbatch,
             )
 
-            def dp_sgd_fn(grads, params, extra, xb, yb, dkey, nkey):
+            def dp_sgd_fn(grads, params, extra, xb, yb, wmask, dkey, nkey):
                 del grads  # recomputed per-example
-                return base(params, extra, xb, yb, dkey, nkey)
+                return base(params, extra, xb, yb, wmask, dkey, nkey)
 
         self._local_train = make_local_train_fn(
             model,
@@ -270,13 +270,20 @@ class FederatedRoundEngine:
 
             if dp_mode == "client_dp":
                 # client-level DP-FedAvg: clip each participant's delta to C,
-                # UNIFORM mean over participants (bounded per-client
-                # influence C/m), central Gaussian noise σ = z·C/m
+                # sum over participants divided by the FIXED expected
+                # participant count m̄ = q·N (NOT the realized mask.sum() —
+                # with a data-dependent denominator the add/remove
+                # sensitivity would be ~2C/m and the certified ε understated
+                # ~2×; McMahan et al. 2018 use the fixed q·N denominator so
+                # each client's influence is exactly ≤ C/m̄), then central
+                # Gaussian noise σ = z·C/m̄ — noise multiplier z w.r.t. the
+                # true sensitivity, matching the Poisson-subsampled RDP
+                # accounting at rate q.
                 deltas = jax.tree.map(
                     lambda c, g: c - g[None], new_stacked, global_vars
                 )
                 clipped, pre_norms = dp.clip_client_deltas(deltas, max_norm)
-                m = jnp.maximum(mask.sum(), 1.0)
+                m = jnp.float32(max(1.0, cfg.participation_rate * C))
                 avg_delta = jax.tree.map(
                     lambda d: jnp.tensordot(
                         mask.astype(jnp.float32), d.astype(jnp.float32),
@@ -344,8 +351,13 @@ class FederatedRoundEngine:
         """(sampling rate q, mechanism invocations) for one round's RDP step.
 
         dp_sgd: example-level — q = batch/shard, one invocation per local
-        step. client_dp: client-level — q = participation rate, ONE
-        invocation per round (the central noised aggregate)."""
+        step. Padded shard slots are masked out of the DP gradient
+        (local_training.py), so each real example occupies exactly one
+        uniformly-random slot per epoch and its per-step inclusion
+        probability is exactly this q (shuffle-based sampling accounted as
+        Poisson — the standard approximation, as in opacus/tf-privacy).
+        client_dp: client-level — q = participation rate, ONE invocation
+        per round (the central noised aggregate)."""
         cfg = self.config
         if cfg.dp_mode == "client_dp":
             return min(1.0, cfg.participation_rate), 1
@@ -358,7 +370,17 @@ class FederatedRoundEngine:
         """Build the per-round participation mask: Bernoulli participation ×
         straggler dropout × failure-handler exclusions, with min_clients
         enforced and max_clients capped (by sample count, matching the
-        reference's cap rule, fedavg.py:82-86)."""
+        reference's cap rule, fedavg.py:82-86).
+
+        client_dp mode: the mask is PURE Poisson sampling at
+        ``participation_rate`` (minus exclusions/dropout, which only lower a
+        client's inclusion probability and are privacy-safe). min_clients
+        forcing and max_clients capping are data-dependent selections with
+        inclusion probability ≈1 that would void the subsampling
+        amplification the RDP accountant relies on, so both are disabled in
+        this mode — the fixed-denominator mean keeps under-full rounds
+        well-defined (they simply move the model less).
+        """
         cfg = self.config
         mask = (
             self._np_rng.random(self.num_clients) < cfg.participation_rate
@@ -369,14 +391,19 @@ class FederatedRoundEngine:
             ).astype(np.float32)
         if exclude:
             mask[np.asarray(exclude, int)] = 0.0
-        if mask.sum() < cfg.min_clients:
+        if cfg.dp_mode == "client_dp":
+            return mask  # Poisson only — see docstring
+        active_count = int(mask.sum())
+        if active_count < cfg.min_clients:
             # force-include the largest shards until min_clients is met
+            excluded = set(int(e) for e in exclude) if exclude else ()
             order = np.argsort(-np.asarray(self.data.num_samples))
             for c in order:
-                if mask.sum() >= cfg.min_clients:
+                if active_count >= cfg.min_clients:
                     break
-                if not exclude or int(c) not in exclude:
+                if int(c) not in excluded and mask[c] == 0.0:
                     mask[c] = 1.0
+                    active_count += 1
         if mask.sum() > cfg.max_clients:
             active = np.flatnonzero(mask)
             counts = np.asarray(self.data.num_samples)[active]

@@ -136,3 +136,37 @@ def test_simulation_export(tmp_path):
 
     data = json.loads(out.read_text())
     assert data["rounds_completed"] == 1
+
+
+def test_checkpoint_persists_rdp_accountant(tmp_path, mnist):
+    """A resumed dp_sgd/client_dp run must continue RDP accounting from the
+    checkpointed state — restarting from zero would silently overdraw the
+    ε bound across save/restore (advisor finding r1)."""
+    def make_dp_sgd(seed=3):
+        model = create_model("simple_cnn")
+        fa = make_federated_arrays(mnist, num_clients=2, strategy="iid",
+                                   samples_per_client=32, seed=seed)
+        cfg = RoundEngineConfig(
+            training=FederatedTrainingConfig(local_epochs=1, batch_size=8),
+            dp_mode="dp_sgd",
+            privacy=PrivacyConfig(epsilon=8.0, delta=1e-5, max_grad_norm=1.0,
+                                  noise_multiplier=2.0),
+            seed=seed, dp_microbatch=4,
+        )
+        return FederatedRoundEngine(model, fa, cfg)
+
+    a = make_dp_sgd()
+    a.run_round(evaluate=False)
+    a.run_round(evaluate=False)
+    eps_at_save = a.rdp_accountant.get_epsilon(1e-5)
+    assert eps_at_save > 0
+    save_engine_checkpoint(a, str(tmp_path / "rdp_ckpt"))
+
+    b = make_dp_sgd()
+    restore_engine_checkpoint(b, str(tmp_path / "rdp_ckpt"))
+    assert b.rdp_accountant.get_epsilon(1e-5) == pytest.approx(
+        eps_at_save, rel=1e-12)
+    b.run_round(evaluate=False)
+    a.run_round(evaluate=False)
+    assert b.rdp_accountant.get_epsilon(1e-5) == pytest.approx(
+        a.rdp_accountant.get_epsilon(1e-5), rel=1e-12)

@@ -98,3 +98,53 @@ def test_client_dp_fused_rounds(mnist):
     expected = compute_epsilon(2, q=1.0, noise_multiplier=2.0, delta=1e-5)
     assert eng.rdp_accountant.get_epsilon(1e-5) == pytest.approx(
         expected, rel=1e-9)
+
+
+def test_client_dp_sigma_uses_fixed_expected_count(mnist):
+    """σ and the mean denominator must be the FIXED m̄ = q·N, not the
+    realized participant count — a realized-count denominator halves the
+    effective noise multiplier and understates ε ~2× (advisor finding r1)."""
+    import jax.numpy as jnp
+
+    z, q, n_clients = 2.0, 0.5, 4
+    eng = make_engine(mnist, epsilon=50.0, z=z, participation=q)
+    expected_sigma = z * 1.0 / (q * n_clients)
+    for n_active in (1, 4):
+        mask = np.zeros(n_clients, np.float32)
+        mask[:n_active] = 1.0
+        _, metrics = eng._superstep(
+            eng.global_variables, jnp.asarray(0, jnp.int32),
+            jnp.asarray(mask), jnp.asarray(eng.epochs_per_client),
+            eng.data.images, eng.data.labels, eng.data.num_samples,
+        )
+        assert float(metrics["dp_sigma_mean"]) == pytest.approx(
+            expected_sigma, rel=1e-6)
+
+
+def test_client_dp_sampling_is_pure_poisson(mnist):
+    """min_clients forcing and max_clients capping are data-dependent
+    inclusions that void the subsampling amplification; in client_dp mode
+    the participation mask must be pure Poisson (advisor finding r1)."""
+    model = create_model("simple_cnn")
+    fa = make_federated_arrays(mnist, num_clients=8, strategy="iid",
+                               samples_per_client=16, seed=0)
+    # participation 0 + min_clients 2: a forced mask would have sum >= 2
+    cfg = RoundEngineConfig(
+        training=FederatedTrainingConfig(local_epochs=1, batch_size=8),
+        dp_mode="client_dp",
+        privacy=PrivacyConfig(epsilon=5.0, delta=1e-5, max_grad_norm=1.0,
+                              noise_multiplier=2.0),
+        participation_rate=0.0, min_clients=2, seed=0,
+    )
+    eng = FederatedRoundEngine(model, fa, cfg)
+    assert eng.sample_participation().sum() == 0.0
+    # participation 1 + max_clients 2: a capped mask would have sum <= 2
+    cfg2 = RoundEngineConfig(
+        training=FederatedTrainingConfig(local_epochs=1, batch_size=8),
+        dp_mode="client_dp",
+        privacy=PrivacyConfig(epsilon=5.0, delta=1e-5, max_grad_norm=1.0,
+                              noise_multiplier=2.0),
+        participation_rate=1.0, max_clients=2, seed=0,
+    )
+    eng2 = FederatedRoundEngine(model, fa, cfg2)
+    assert eng2.sample_participation().sum() == 8.0

@@ -171,7 +171,11 @@ def test_metrics_system_sample_and_export(tmp_path):
 def test_metrics_tracker_thread():
     t = MetricsTracker(interval_s=0.05)
     t.start()
-    time.sleep(0.3)
+    # poll instead of a fixed sleep: under full-suite load the sampler
+    # thread may be scheduled late
+    deadline = time.time() + 10.0
+    while time.time() < deadline and not t.collector.system_metrics:
+        time.sleep(0.05)
     t.stop()
     assert len(t.collector.system_metrics) >= 1
 

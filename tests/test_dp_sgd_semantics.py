@@ -1,0 +1,129 @@
+"""DP-SGD mechanism semantics: per-example clipping, padded-slot masking,
+noise calibration — the properties the RDP certificate rests on."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fl_tpu.fl.privacy import make_dp_sgd_grad_fn
+
+
+def quadratic_loss(params, extra, xb, yb, dkey):
+    """Per-example grad of this loss w.r.t. w is exactly x (easy to reason
+    about clipping analytically)."""
+    del extra, yb, dkey
+    return jnp.sum(params["w"] * xb.mean(0)), None
+
+
+def linear_model_loss(params, extra, xb, yb, dkey):
+    del extra, dkey
+    logits = xb @ params["w"]
+    import optax
+
+    return optax.softmax_cross_entropy_with_integer_labels(logits, yb).mean(), None
+
+
+def test_padded_slots_contribute_zero():
+    """wmask=0 slots must contribute exactly nothing: the grad with hostile
+    content in masked slots equals the grad with zeros there."""
+    dp_fn = make_dp_sgd_grad_fn(linear_model_loss, max_grad_norm=1.0,
+                                noise_multiplier=0.0, microbatch_size=4)
+    rng = np.random.default_rng(0)
+    params = {"w": jnp.asarray(rng.normal(0, 1, (8, 4)), jnp.float32)}
+    xb = jnp.asarray(rng.normal(0, 1, (8, 8)), jnp.float32)
+    yb = jnp.asarray(rng.integers(0, 4, (8,)), jnp.int32)
+    wmask = jnp.asarray([1, 1, 1, 1, 0, 0, 0, 0], jnp.float32)
+    key = jax.random.PRNGKey(0)
+
+    g1 = dp_fn(params, {}, xb, yb, wmask, key, key)
+    hostile = xb.at[4:].set(1e3)
+    g2 = dp_fn(params, {}, hostile, yb, wmask, key, key)
+    np.testing.assert_allclose(np.asarray(g1["w"]), np.asarray(g2["w"]),
+                               rtol=1e-6)
+    # and masked-out examples really are absent: grads differ from all-ones
+    g3 = dp_fn(params, {}, xb, yb, jnp.ones(8, jnp.float32), key, key)
+    assert not np.allclose(np.asarray(g1["w"]), np.asarray(g3["w"]))
+
+
+def test_per_example_clip_bounds_single_example_influence():
+    """Swapping ONE example changes the (noise-free) mean grad by at most
+    2·C/B in L2 — the sensitivity bound the Gaussian mechanism needs,
+    regardless of how extreme the example is."""
+    C, B = 1.0, 8
+    dp_fn = make_dp_sgd_grad_fn(linear_model_loss, max_grad_norm=C,
+                                noise_multiplier=0.0, microbatch_size=4)
+    rng = np.random.default_rng(1)
+    params = {"w": jnp.asarray(rng.normal(0, 1, (8, 4)), jnp.float32)}
+    xb = jnp.asarray(rng.normal(0, 1, (B, 8)), jnp.float32)
+    yb = jnp.asarray(rng.integers(0, 4, (B,)), jnp.int32)
+    ones = jnp.ones(B, jnp.float32)
+    key = jax.random.PRNGKey(0)
+
+    g_base = dp_fn(params, {}, xb, yb, ones, key, key)
+    poisoned = xb.at[3].set(1e4)
+    g_poison = dp_fn(params, {}, poisoned, yb, ones, key, key)
+    diff = np.linalg.norm(np.asarray(g_base["w"]) - np.asarray(g_poison["w"]))
+    assert diff <= 2 * C / B + 1e-6
+
+
+def test_noise_scale_is_zC_over_B():
+    """With zero gradients the output is pure noise with std z·C/B."""
+    def zero_loss(params, extra, xb, yb, dkey):
+        del extra, xb, yb, dkey
+        return 0.0 * jnp.sum(params["w"]), None
+
+    z, C, B = 4.0, 2.0, 16
+    dp_fn = make_dp_sgd_grad_fn(zero_loss, max_grad_norm=C,
+                                noise_multiplier=z, microbatch_size=8)
+    params = {"w": jnp.zeros((64, 64), jnp.float32)}
+    xb = jnp.zeros((B, 4), jnp.float32)
+    yb = jnp.zeros((B,), jnp.int32)
+    g = dp_fn(params, {}, xb, yb, jnp.ones(B, jnp.float32),
+              jax.random.PRNGKey(0), jax.random.PRNGKey(7))
+    observed = float(np.std(np.asarray(g["w"])))
+    assert observed == pytest.approx(z * C / B, rel=0.05)
+
+
+def test_local_training_dp_masks_exactly_the_padded_slots():
+    """End-to-end through make_local_train_fn: with a 32-slot shard holding
+    16 valid examples, exactly 16 slots across the epoch must be masked out
+    of the DP gradient (the pre-fix remapping showed all slots as valid,
+    processing duplicated examples the accountant never charged for).
+
+    Probe: a dp_sgd_fn that RETURNS the per-batch valid count through the
+    gradient (constant tree = wmask.sum()); with plain SGD the total param
+    displacement is then lr · Σ_steps wmask.sum() = lr · n_valid, directly
+    observable from the returned params."""
+    from fl_tpu.fl.local_training import (
+        FederatedTrainingConfig,
+        make_local_train_fn,
+    )
+    from fl_tpu.models import create_model
+
+    model = create_model("simple_cnn")
+    lr = 0.5
+    cfg = FederatedTrainingConfig(local_epochs=1, batch_size=8,
+                                  optimizer_type="sgd", learning_rate=lr,
+                                  momentum=0.0)
+
+    def probe_dp_fn(grads, params, extra, xb, yb, wmask, dkey, nkey):
+        return jax.tree.map(lambda g: jnp.full_like(g, wmask.sum()), grads)
+
+    fn = make_local_train_fn(
+        model, cfg, samples_per_client=32,
+        mean=np.zeros(1, np.float32), std=np.ones(1, np.float32),
+        dp_sgd_fn=probe_dp_fn,
+    )
+    variables = model.init(jax.random.PRNGKey(0))
+    images = jnp.zeros((32, 28, 28, 1), jnp.uint8)
+    labels = jnp.zeros((32,), jnp.int32)
+
+    for n_valid in (16, 32):
+        out, _ = fn(variables, images, labels,
+                    jnp.asarray(n_valid, jnp.int32),
+                    jnp.asarray(1, jnp.int32), jax.random.PRNGKey(1))
+        w0 = np.asarray(jax.tree.leaves(variables["params"])[0])
+        w1 = np.asarray(jax.tree.leaves(out["params"])[0])
+        # every element moved by -lr * Σ wmask.sum() = -lr * n_valid
+        np.testing.assert_allclose(w0 - w1, lr * n_valid, rtol=1e-5)

@@ -63,3 +63,67 @@ def test_lz4_service_roundtrip():
     restored = svc.decompress_weights(payload, meta)
     for k in weights:
         np.testing.assert_array_equal(weights[k], restored[k])
+
+
+def test_decompress_rejects_hostile_continuation_bytes():
+    """A stream stacking 0xFF length-continuation bytes must be rejected,
+    not wrap the accumulated length negative and memcpy out of bounds
+    (advisor finding r1: signed overflow after ~8.4 MB of 0xFF)."""
+    from fl_tpu import native
+
+    if not native.available():
+        pytest.skip("native codec unavailable")
+    # token declaring extended literal length, then a long run of 0xFF.
+    # With the fix the decoder bails as soon as the accumulated length
+    # exceeds dst_cap; 1 MB of 0xFF is far past any valid length for a
+    # 64-byte declared output.
+    payload = bytes([0xF0]) + b"\xff" * (1 << 20) + b"\x00"
+    blob = native.MAGIC + (64).to_bytes(4, "little") + payload
+    with pytest.raises(ValueError):
+        native.lz4_decompress(blob)
+    # same attack on the match-length path: valid 4-byte literal, then a
+    # match token with extended length and hostile continuation run
+    lit = bytes([0x4F]) + b"abcd" + b"\x01\x00" + b"\xff" * (1 << 20) + b"\x00"
+    blob2 = native.MAGIC + (64).to_bytes(4, "little") + lit
+    with pytest.raises(ValueError):
+        native.lz4_decompress(blob2)
+
+
+def test_decompress_rejects_absurd_declared_size():
+    from fl_tpu import native
+
+    if not native.available():
+        pytest.skip("native codec unavailable")
+    blob = native.MAGIC + (0xFFFFFFFF).to_bytes(4, "little") + b"\x00" * 16
+    with pytest.raises(ValueError):
+        native.lz4_decompress(blob)
+
+
+def test_decompress_fuzz_random_payloads():
+    """Random and mutated payloads must either roundtrip or raise cleanly —
+    never crash (the coordinator decompresses untrusted client bytes)."""
+    import random
+
+    from fl_tpu import native
+
+    if not native.available():
+        pytest.skip("native codec unavailable")
+    rng = random.Random(0)
+    data = bytes(rng.randrange(4) for _ in range(4096))  # compressible-ish
+    good = native.lz4_compress(data)
+    assert native.lz4_decompress(good) == data
+    for trial in range(200):
+        blob = bytearray(good)
+        for _ in range(rng.randrange(1, 8)):
+            blob[rng.randrange(8, len(blob))] = rng.randrange(256)
+        try:
+            native.lz4_decompress(bytes(blob))
+        except ValueError:
+            pass
+    for trial in range(100):
+        junk = bytes(rng.randrange(256) for _ in range(rng.randrange(1, 512)))
+        blob = native.MAGIC + (256).to_bytes(4, "little") + junk
+        try:
+            native.lz4_decompress(blob)
+        except ValueError:
+            pass
