@@ -163,10 +163,24 @@ class FedAvgAggregator:
         avg_loss = float(
             sum(u.training_loss * w for u, w in zip(valid, w_np))
         )
+        # sample-weighted mean of client-reported train accuracy, so the
+        # deployment coordinator's target-accuracy exit criterion has a live
+        # signal (the reference reads the same client-reported accuracies via
+        # its MetricsCollector, federated_simulation.py:407-428)
+        acc_metrics = {}
+        reported = [(u.training_metrics.accuracy, w)
+                    for u, w in zip(valid, w_np)
+                    if u.training_metrics is not None]
+        if reported:
+            wsum = sum(w for _, w in reported)
+            if wsum > 0:
+                acc_metrics["train_accuracy"] = float(
+                    sum(a * w for a, w in reported) / wsum
+                )
         model = GlobalModel(
             round_number=valid[0].round_number,
             model_weights=averaged,
-            accuracy_metrics={},
+            accuracy_metrics=acc_metrics,
             participating_clients=[u.client_id for u in valid],
             convergence_score=0.0,
         )

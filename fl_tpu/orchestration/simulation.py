@@ -255,6 +255,8 @@ class FederatedLearningSimulation:
                     partition_strategy=cfg.partition_strategy,
                     poll_interval_s=0.5, max_rounds=cfg.num_rounds,
                     data_seed=cfg.seed,
+                    n_train_synth=cfg.n_train_synth,
+                    n_test_synth=cfg.n_test_synth,
                 )
                 t.initialize()
                 t.start_training()
@@ -265,19 +267,32 @@ class FederatedLearningSimulation:
                 if all(c.rounds_completed >= cfg.num_rounds for c in clients):
                     break
                 if servicer.global_model is not None:
-                    acc = servicer.global_model.get_accuracy() or 0.0
+                    gm = servicer.global_model
+                    acc = (gm.get_accuracy()
+                           or gm.get_accuracy("train") or 0.0)
                     if acc >= cfg.target_accuracy:
                         reason = "target_accuracy_reached"
                         break
                 time.sleep(0.5)
             else:
                 reason = "timeout"
+            # clients count a round done at upload; the servicer's aggregation
+            # thread may still be averaging the final round (first-round jit
+            # compile alone can take tens of seconds) — drain it so
+            # current_round / global_model reflect every submitted update
+            while (servicer.current_round < cfg.num_rounds
+                   and (servicer._aggregating
+                        or any(servicer.pending_updates.values()))
+                   and time.time() < deadline):
+                time.sleep(0.5)
             return {
                 "backend": "grpc",
                 "stop_reason": reason,
                 "rounds_completed": servicer.current_round,
-                "final_accuracy": (servicer.global_model.get_accuracy()
-                                   if servicer.global_model else None),
+                "final_accuracy": (
+                    (servicer.global_model.get_accuracy()
+                     or servicer.global_model.get_accuracy("train"))
+                    if servicer.global_model else None),
                 "client_results": {c.client_id: c.get_status()
                                    for c in clients},
             }

@@ -88,6 +88,8 @@ class FederatedTrainer:
         poll_interval_s: float = 2.0,
         max_rounds: Optional[int] = None,
         samples_override: Optional[int] = None,
+        n_train_synth: int = 20_000,
+        n_test_synth: int = 4_000,
     ):
         self.client_id = client_id
         self.dataset = dataset
@@ -129,11 +131,15 @@ class FederatedTrainer:
             if privacy else None
         )
 
+        self.n_train_synth = n_train_synth
+        self.n_test_synth = n_test_synth
+
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
         self._model = None
         self._local_train = None
         self._shard = None
+        self._train_fn_cache: dict = {}
         self._root_key = prng.root_key(hash(client_id) & 0x7FFFFFFF)
 
     # -- initialization (ref: initialize, federated_trainer.py:109-207) -------
@@ -147,7 +153,10 @@ class FederatedTrainer:
 
             self._model = create_model(self.model_name)
 
-        splits = load_dataset(self.dataset)
+        splits = load_dataset(self.dataset,
+                              n_train_synth=self.n_train_synth,
+                              n_test_synth=self.n_test_synth,
+                              seed=self.data_seed)
         arrays = make_federated_arrays(
             splits, num_clients=self.num_clients,
             strategy=self.partition_strategy, seed=self.data_seed,
@@ -167,12 +176,19 @@ class FederatedTrainer:
                     self.capabilities.available_samples)
 
     def _build_train_fn(self, cfg: FederatedTrainingConfig):
-        fn = make_local_train_fn(
-            self._model, cfg,
-            samples_per_client=self._shard["spc"],
-            mean=self._shard["mean"], std=self._shard["std"],
-        )
-        return jax.jit(fn)
+        # memoized per hyperparameter tuple: a fresh jax.jit closure every
+        # round would recompile the whole local-training program each round
+        key = (cfg.local_epochs, cfg.batch_size, cfg.learning_rate,
+               cfg.optimizer_type)
+        fn = self._train_fn_cache.get(key)
+        if fn is None:
+            fn = jax.jit(make_local_train_fn(
+                self._model, cfg,
+                samples_per_client=self._shard["spc"],
+                mean=self._shard["mean"], std=self._shard["std"],
+            ))
+            self._train_fn_cache[key] = fn
+        return fn
 
     # -- lifecycle (ref: start_training/_training_loop :209-316) -------------
     def start_training(self) -> None:

@@ -29,6 +29,7 @@ from fl_tpu.core.types import (
     ModelUpdate,
     PrivacyConfig,
     RoundConfig,
+    TrainingMetrics,
     TrainingStatus,
 )
 from fl_tpu.services import federated_learning_pb2 as pb
@@ -171,6 +172,15 @@ class ProtobufConverter:
         return msg
 
     def model_update_from_proto(self, p: pb.ModelUpdate) -> ModelUpdate:
+        metrics = None
+        if p.HasField("training_metrics"):
+            tm = p.training_metrics
+            metrics = TrainingMetrics(
+                loss=tm.loss, accuracy=tm.accuracy,
+                epochs_completed=tm.epochs_completed,
+                training_time=tm.training_time_seconds,
+                samples_processed=tm.samples_processed,
+            )
         return ModelUpdate(
             client_id=p.client_id,
             round_number=p.round_number,
@@ -180,6 +190,7 @@ class ProtobufConverter:
             privacy_budget_used=p.privacy_budget_used,
             compression_ratio=p.compression_ratio,
             timestamp=float(p.timestamp) or time.time(),
+            training_metrics=metrics,
         )
 
     # -- global model (ref :191-245) --------------------------------------------------

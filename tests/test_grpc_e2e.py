@@ -1,0 +1,34 @@
+"""Always-on gRPC-backend end-to-end round (VERDICT #5).
+
+The reference's primary integration harness is the localhost-gRPC
+simulation (src/simulation/federated_simulation.py:309-392). The fast suite
+previously only covered the servicer and client FSM in loopback isolation;
+this test drives the full deployment stack — coordinator servicer ↔ gRPC
+wire ↔ client FSM ↔ proto converters ↔ local training ↔ DP ↔ FedAvg — for
+one real round at tiny shapes, so the deployment path cannot rot unnoticed.
+
+The heavier multi-round variant stays gated in test_grpc_simulation_slow.py.
+"""
+
+
+def test_grpc_backend_single_round_e2e():
+    from fl_tpu.orchestration.simulation import (
+        FederatedLearningSimulation,
+        SimulationConfig,
+    )
+
+    sim = FederatedLearningSimulation(SimulationConfig(
+        dataset="mnist", num_clients=2, num_rounds=1,
+        target_accuracy=0.999, backend="grpc",
+        n_train_synth=128, n_test_synth=32,
+        local_epochs=1, batch_size=8,
+        privacy_epsilon=1.0, dp_mode="delta", timeout_s=300,
+        heterogeneous_clients=False,
+    ))
+    results = sim.run_simulation()
+    assert results["backend"] == "grpc"
+    assert results["rounds_completed"] >= 1
+    for status in results["client_results"].values():
+        assert status["rounds_completed"] >= 1
+    # the aggregated global model actually moved through the wire
+    assert results["final_accuracy"] is not None

@@ -209,3 +209,194 @@ def test_cifar_augment_shape_and_variety():
     b = aug(x, jax.random.PRNGKey(3))
     assert a.shape == x.shape
     assert not np.allclose(np.asarray(a), np.asarray(b))
+
+
+# --- conv (shift-GEMM formulation) -----------------------------------------
+
+def _lax_conv3x3(x, w):
+    return jax.lax.conv_general_dilated(
+        x, w, window_strides=(1, 1), padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
+@pytest.mark.parametrize("shape", [
+    (2, 14, 14, 32, 64),   # conv2 of SimpleCNN (B, H, W, I, O)
+    (3, 28, 28, 1, 32),    # conv1 of SimpleCNN
+    (2, 8, 8, 16, 16),
+])
+def test_conv3x3_same_matches_lax_conv(shape):
+    from fl_tpu.ops.conv import conv3x3_same
+
+    B, H, W, I, O = shape
+    kx, kw, kg = jax.random.split(jax.random.PRNGKey(0), 3)
+    x = jax.random.normal(kx, (B, H, W, I), jnp.float32)
+    w = jax.random.normal(kw, (3, 3, I, O), jnp.float32) * 0.1
+    g = jax.random.normal(kg, (B, H, W, O), jnp.float32)
+
+    np.testing.assert_allclose(
+        np.asarray(conv3x3_same(x, w)), np.asarray(_lax_conv3x3(x, w)),
+        rtol=1e-4, atol=1e-4,
+    )
+
+    def loss(f):
+        return lambda x, w: jnp.sum(f(x, w) * g)
+
+    (dx_r, dw_r) = jax.grad(loss(_lax_conv3x3), (0, 1))(x, w)
+    (dx_n, dw_n) = jax.grad(loss(conv3x3_same), (0, 1))(x, w)
+    np.testing.assert_allclose(np.asarray(dx_n), np.asarray(dx_r),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(dw_n), np.asarray(dw_r),
+                               rtol=1e-4, atol=2e-4)
+
+
+def test_conv3x3_same_vmapped_per_client_weights():
+    """The bench formulation: vmap over a client axis of both operands."""
+    from fl_tpu.ops.conv import conv3x3_same
+
+    C = 4
+    kx, kw, kg = jax.random.split(jax.random.PRNGKey(1), 3)
+    x = jax.random.normal(kx, (C, 2, 14, 14, 8), jnp.float32)
+    w = jax.random.normal(kw, (C, 3, 3, 8, 16), jnp.float32) * 0.1
+    g = jax.random.normal(kg, (C, 2, 14, 14, 16), jnp.float32)
+
+    np.testing.assert_allclose(
+        np.asarray(jax.vmap(conv3x3_same)(x, w)),
+        np.asarray(jax.vmap(_lax_conv3x3)(x, w)),
+        rtol=1e-4, atol=1e-4,
+    )
+
+    def loss(f):
+        return lambda x, w: jnp.sum(jax.vmap(f)(x, w) * g)
+
+    (dx_r, dw_r) = jax.grad(loss(_lax_conv3x3), (0, 1))(x, w)
+    (dx_n, dw_n) = jax.grad(loss(conv3x3_same), (0, 1))(x, w)
+    np.testing.assert_allclose(np.asarray(dx_n), np.asarray(dx_r),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(dw_n), np.asarray(dw_r),
+                               rtol=1e-4, atol=2e-4)
+
+
+def test_conv3x3fast_module_param_compat():
+    """Conv3x3Fast exposes nn.Conv's exact param tree (kernel HWIO + bias)."""
+    import flax.linen as nn
+
+    from fl_tpu.ops.conv import Conv3x3Fast
+
+    x = jnp.ones((2, 14, 14, 8))
+    fast = Conv3x3Fast(16)
+    ref = nn.Conv(16, (3, 3), padding="SAME")
+    vf = fast.init(jax.random.PRNGKey(0), x)
+    vr = ref.init(jax.random.PRNGKey(0), x)
+    assert jax.tree.structure(vf) == jax.tree.structure(vr)
+    for a, b in zip(jax.tree.leaves(vf), jax.tree.leaves(vr)):
+        assert a.shape == b.shape and a.dtype == b.dtype
+    # same init function + same key -> identical initial params
+    np.testing.assert_allclose(np.asarray(vf["params"]["kernel"]),
+                               np.asarray(vr["params"]["kernel"]))
+    # and identical outputs given identical params
+    y_f = fast.apply(vf, x)
+    y_r = ref.apply(vf, x)
+    np.testing.assert_allclose(np.asarray(y_f), np.asarray(y_r),
+                               rtol=1e-4, atol=1e-4)
+
+
+# --- conv (Pallas implicit-GEMM, interpret mode on CPU) --------------------
+
+@pytest.mark.parametrize("shape", [
+    (2, 14, 14, 32, 64),   # conv2 of SimpleCNN
+    (2, 8, 8, 16, 16),
+    (1, 28, 28, 4, 8),     # non-16-aligned padded width path
+])
+def test_conv3x3_pallas_matches_lax_conv(shape):
+    from fl_tpu.ops.conv_pallas import conv3x3_pallas
+
+    B, H, W, I, O = shape
+    kx, kw, kg = jax.random.split(jax.random.PRNGKey(0), 3)
+    x = jax.random.normal(kx, (B, H, W, I), jnp.float32)
+    w = jax.random.normal(kw, (3, 3, I, O), jnp.float32) * 0.1
+    g = jax.random.normal(kg, (B, H, W, O), jnp.float32)
+
+    np.testing.assert_allclose(
+        np.asarray(conv3x3_pallas(x, w)), np.asarray(_lax_conv3x3(x, w)),
+        rtol=1e-4, atol=1e-4,
+    )
+
+    def loss(f):
+        return lambda x, w: jnp.sum(f(x, w) * g)
+
+    (dx_r, dw_r) = jax.grad(loss(_lax_conv3x3), (0, 1))(x, w)
+    (dx_n, dw_n) = jax.grad(loss(conv3x3_pallas), (0, 1))(x, w)
+    np.testing.assert_allclose(np.asarray(dx_n), np.asarray(dx_r),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(dw_n), np.asarray(dw_r),
+                               rtol=1e-4, atol=2e-4)
+
+
+def test_conv3x3_pallas_chunked_vmem_path():
+    """Force a tiny VMEM budget so the batch-chunk vmap path runs."""
+    import fl_tpu.ops.conv_pallas as cp
+
+    old = cp.VMEM_BUDGET
+    cp.VMEM_BUDGET = 300 * 1024
+    try:
+        kx, kw, kg = jax.random.split(jax.random.PRNGKey(7), 3)
+        x = jax.random.normal(kx, (4, 14, 14, 16), jnp.float32)
+        w = jax.random.normal(kw, (3, 3, 16, 32), jnp.float32) * 0.1
+        g = jax.random.normal(kg, (4, 14, 14, 32), jnp.float32)
+
+        def loss(f):
+            return lambda x, w: jnp.sum(f(x, w) * g)
+
+        (dx_r, dw_r) = jax.grad(loss(_lax_conv3x3), (0, 1))(x, w)
+        (dx_n, dw_n) = jax.grad(loss(cp.conv3x3_pallas), (0, 1))(x, w)
+        np.testing.assert_allclose(
+            np.asarray(cp.conv3x3_pallas(x, w)),
+            np.asarray(_lax_conv3x3(x, w)), rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(dx_n), np.asarray(dx_r),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(dw_n), np.asarray(dw_r),
+                                   rtol=1e-4, atol=2e-4)
+    finally:
+        cp.VMEM_BUDGET = old
+
+
+def test_conv_stem_s2d_equals_conv_relu_pool():
+    """s2d stem == maxpool2x2(relu(conv3x3(x)+b)), values and (w, b) grads,
+    including under vmap over a client axis."""
+    import flax.linen as nn
+
+    from fl_tpu.ops.conv_pallas import conv_stem_s2d
+
+    def ref_stem(x, w, b):
+        y = _lax_conv3x3(x, w) + b
+        return nn.max_pool(nn.relu(y), (2, 2), strides=(2, 2))
+
+    kx, kw, kb, kg = jax.random.split(jax.random.PRNGKey(1), 4)
+    x = jax.random.normal(kx, (2, 28, 28, 1), jnp.float32)
+    w = jax.random.normal(kw, (3, 3, 1, 32), jnp.float32) * 0.3
+    b = jax.random.normal(kb, (32,), jnp.float32) * 0.1
+    g = jax.random.normal(kg, (2, 14, 14, 32), jnp.float32)
+
+    np.testing.assert_allclose(np.asarray(conv_stem_s2d(x, w, b)),
+                               np.asarray(ref_stem(x, w, b)),
+                               rtol=1e-4, atol=1e-4)
+
+    def loss(f):
+        return lambda w, b: jnp.sum(f(x, w, b) * g)
+
+    (dw_r, db_r) = jax.grad(loss(ref_stem), (0, 1))(w, b)
+    (dw_n, db_n) = jax.grad(loss(conv_stem_s2d), (0, 1))(w, b)
+    np.testing.assert_allclose(np.asarray(dw_n), np.asarray(dw_r),
+                               rtol=1e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(db_n), np.asarray(db_r),
+                               rtol=1e-4, atol=2e-4)
+
+    # vmapped per-client weights (the bench formulation)
+    C = 3
+    xs = jnp.stack([x] * C)
+    ws = jax.random.normal(kw, (C, 3, 3, 1, 32), jnp.float32) * 0.3
+    bs = jax.random.normal(kb, (C, 32), jnp.float32) * 0.1
+    np.testing.assert_allclose(
+        np.asarray(jax.vmap(conv_stem_s2d)(xs, ws, bs)),
+        np.asarray(jax.vmap(ref_stem)(xs, ws, bs)), rtol=1e-4, atol=1e-4)
