@@ -116,6 +116,7 @@ def make_local_train_fn(
     max_epochs: Optional[int] = None,
     augment_fn: Optional[Callable] = None,
     dp_sgd_fn: Optional[Callable] = None,
+    homogeneous_epochs: bool = False,
 ) -> Callable:
     """Build the single-client local-training function.
 
@@ -132,6 +133,14 @@ def make_local_train_fn(
     vmap this over the leading client axis of every argument to get the
     whole-population trainer. ``dp_sgd_fn``, when given, transforms per-step
     gradients (per-example clip + noise) — see fl_tpu.fl.privacy.
+
+    ``homogeneous_epochs=True`` promises every client runs exactly
+    ``max_epochs`` epochs, which removes the three per-step masked
+    tree-selects (params / mutable vars / optimizer state) that implement
+    heterogeneous epoch budgets — at 512 clients x 422K params those
+    selects stream ~2.6 GB of HBM per tree per step, a measurable slice of
+    the round budget. The caller (round engine) enables it automatically
+    when no per-client budgets are configured.
     """
     if max_epochs is None:
         max_epochs = cfg.local_epochs
@@ -212,16 +221,19 @@ def make_local_train_fn(
                     )
                 updates, new_opt = optimizer.update(grads, opt_state, params)
                 new_params = optax.apply_updates(params, updates)
-                # masked no-op for clients whose epoch budget is spent
-                params = jax.tree.map(
-                    lambda new, old: jnp.where(active, new, old),
-                    new_params, params)
-                extra = jax.tree.map(
-                    lambda new, old: jnp.where(active, new, old),
-                    new_extra, extra)
-                opt_state = jax.tree.map(
-                    lambda new, old: jnp.where(active, new, old),
-                    new_opt, opt_state)
+                if homogeneous_epochs:
+                    params, extra, opt_state = new_params, new_extra, new_opt
+                else:
+                    # masked no-op for clients whose epoch budget is spent
+                    params = jax.tree.map(
+                        lambda new, old: jnp.where(active, new, old),
+                        new_params, params)
+                    extra = jax.tree.map(
+                        lambda new, old: jnp.where(active, new, old),
+                        new_extra, extra)
+                    opt_state = jax.tree.map(
+                        lambda new, old: jnp.where(active, new, old),
+                        new_opt, opt_state)
                 return (params, extra, opt_state), (loss, acc)
 
             (params, extra, opt_state), (losses, accs) = jax.lax.scan(

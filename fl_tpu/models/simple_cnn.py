@@ -17,19 +17,36 @@ import jax.numpy as jnp
 
 
 class SimpleCNN(nn.Module):
+    """``fast_ops=True`` swaps the stem conv and the pools for the
+    GEMM-shaped formulations in fl_tpu.ops.fast_layers (same parameter
+    tree and forward values; maxpool gradient splits ties instead of
+    scattering to one argmax). Used by the 512-client bench path where
+    XLA's grouped-conv lowering of the vmapped per-client conv costs
+    layout copies + a slow wgrad (see that module's docstring)."""
+
     num_classes: int = 10
     dropout_rate: float = 0.25
     dtype: jnp.dtype = jnp.float32
+    fast_ops: bool = False
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
+        if self.fast_ops:
+            from fl_tpu.ops.fast_layers import FastConv3x3, max_pool_2x2
+
+            conv1 = FastConv3x3(32, dtype=self.dtype, name="conv1")
+            pool = max_pool_2x2
+        else:
+            conv1 = nn.Conv(32, (3, 3), padding="SAME", dtype=self.dtype,
+                            name="conv1")
+            pool = lambda v: nn.max_pool(v, (2, 2), strides=(2, 2))  # noqa: E731
         x = x.astype(self.dtype)
-        x = nn.Conv(32, (3, 3), padding="SAME", dtype=self.dtype, name="conv1")(x)
+        x = conv1(x)
         x = nn.relu(x)
-        x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        x = pool(x)
         x = nn.Conv(64, (3, 3), padding="SAME", dtype=self.dtype, name="conv2")(x)
         x = nn.relu(x)
-        x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        x = pool(x)
         x = x.reshape((x.shape[0], -1))  # (B, 7*7*64)
         x = nn.Dense(128, dtype=self.dtype, name="fc1")(x)
         x = nn.relu(x)

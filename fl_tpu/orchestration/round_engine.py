@@ -130,7 +130,7 @@ class FederatedRoundEngine:
             self._client_sh = self._rep_sh = None
 
         # per-client epoch budgets (capability adaptation hook; default flat)
-        self.epochs_per_client = np.full(
+        self._epochs_per_client = np.full(
             (self.num_clients,), config.training.local_epochs, np.int32
         )
 
@@ -155,6 +155,63 @@ class FederatedRoundEngine:
 
             self.rdp_accountant = RDPAccountant()
 
+        self._augment_fn = augment_fn
+        self._built_homogeneous: Optional[bool] = None
+        self._build_pipeline()
+        self._eval_fn = make_eval_fn(model) if test_images is not None else None
+        if test_images is not None:
+            self.test_images = jnp.asarray(test_images)
+            self.test_labels = jnp.asarray(test_labels)
+        else:
+            self.test_images = self.test_labels = None
+
+        self.round_number = 0
+        self.global_variables: Variables = model.init(
+            prng.stream_key(self._root_key, prng.Stream.INIT)
+        )
+        self.history: List[RoundResult] = []
+        self.detector = ConvergenceDetector()
+        self._fused_rounds_fn = None
+
+    # ------------------------------------------------------------------
+    # the superstep
+    # ------------------------------------------------------------------
+    def _is_homogeneous(self) -> bool:
+        return bool(np.all(self._epochs_per_client
+                           == self.config.training.local_epochs))
+
+    @property
+    def epochs_per_client(self) -> np.ndarray:
+        """Per-client epoch budgets (capability adaptation). Assigning an
+        array with heterogeneous budgets rebuilds the superstep with masked
+        per-step selects; a flat array rebuilds the cheaper static path."""
+        return self._epochs_per_client
+
+    @epochs_per_client.setter
+    def epochs_per_client(self, value) -> None:
+        value = np.asarray(value, np.int32)
+        if value.shape != (self.num_clients,):
+            raise ValueError(
+                f"epochs_per_client must have shape ({self.num_clients},), "
+                f"got {value.shape}")
+        if np.any(value > self.config.training.local_epochs):
+            raise ValueError(
+                "per-client epoch budgets cannot exceed "
+                f"training.local_epochs={self.config.training.local_epochs}")
+        self._epochs_per_client = value
+        if self._is_homogeneous() != self._built_homogeneous:
+            self._build_pipeline()
+
+    def _build_pipeline(self) -> None:
+        """(Re)build the vmapped local trainer + jitted superstep.
+
+        Called from __init__ and when epoch-budget homogeneity flips: with
+        flat budgets the local trainer drops the three per-step masked
+        tree-selects (params / mutable vars / optimizer state), which stream
+        several GB of HBM per step at the 512-client bench scale.
+        """
+        config, model = self.config, self.model
+
         # DP-SGD per-step grad transform (per-example clip + noise)
         dp_sgd_fn = None
         if config.dp_mode == "dp_sgd":
@@ -176,17 +233,20 @@ class FederatedRoundEngine:
                 del grads  # recomputed per-example
                 return base(params, extra, xb, yb, wmask, dkey, nkey)
 
+        homogeneous = self._is_homogeneous()
         self._local_train = make_local_train_fn(
             model,
             config.training,
             samples_per_client=self.data.samples_per_client,
             mean=self.data.mean,
             std=self.data.std,
-            augment_fn=augment_fn,
+            augment_fn=self._augment_fn,
             dp_sgd_fn=dp_sgd_fn,
+            homogeneous_epochs=homogeneous,
         )
+        self._built_homogeneous = homogeneous
 
-        if mesh is not None:
+        if self.mesh is not None:
             # explicit shardings: global model replicated, every
             # client-stacked argument split over the mesh's client axis.
             # XLA then runs local training fully parallel per shard and
@@ -198,24 +258,8 @@ class FederatedRoundEngine:
             )
         else:
             self._superstep = jax.jit(self._build_superstep())
-        self._eval_fn = make_eval_fn(model) if test_images is not None else None
-        if test_images is not None:
-            self.test_images = jnp.asarray(test_images)
-            self.test_labels = jnp.asarray(test_labels)
-        else:
-            self.test_images = self.test_labels = None
-
-        self.round_number = 0
-        self.global_variables: Variables = model.init(
-            prng.stream_key(self._root_key, prng.Stream.INIT)
-        )
-        self.history: List[RoundResult] = []
-        self.detector = ConvergenceDetector()
         self._fused_rounds_fn = None
 
-    # ------------------------------------------------------------------
-    # the superstep
-    # ------------------------------------------------------------------
     def _build_superstep(self):
         cfg = self.config
         C = self.num_clients
@@ -641,7 +685,24 @@ class FederatedRoundEngine:
         total_t = time.perf_counter() - t0
         self.global_variables = new_global
 
-        # host bookkeeping per round (metrics already on host)
+        # host bookkeeping per round (metrics already on host). In RDP
+        # modes each round's epsilon_spent is the *marginal* RDP->(ε,δ)
+        # increment at that composition depth (matching run_round), not the
+        # additive per-round eps_r of delta mode.
+        rdp_mode = (cfg.dp_mode in ("dp_sgd", "client_dp")
+                    and self.rdp_accountant is not None)
+        per_round_eps = [eps_r] * num_rounds
+        if rdp_mode:
+            q, steps = self._rdp_round_params()
+            prev_eps = (self.rdp_accountant.get_epsilon(self.privacy.delta)
+                        if self.round_number > 0 else 0.0)
+            per_round_eps = []
+            for _ in range(num_rounds):
+                self.rdp_accountant.step(
+                    q, self.privacy.noise_multiplier, steps)
+                cur = self.rdp_accountant.get_epsilon(self.privacy.delta)
+                per_round_eps.append(cur - prev_eps)
+                prev_eps = cur
         results: List[RoundResult] = []
         for i in range(num_rounds):
             if self.budget_tracker is not None and cfg.dp_mode == "delta":
@@ -663,14 +724,9 @@ class FederatedRoundEngine:
                 convergence_score=conv.convergence_score,
                 participating_clients=int(masks[i].sum()),
                 round_time_s=total_t / num_rounds,
-                epsilon_spent=eps_r,
+                epsilon_spent=per_round_eps[i],
             ))
             self.round_number += 1
-        if (cfg.dp_mode in ("dp_sgd", "client_dp")
-                and self.rdp_accountant is not None):
-            q, steps = self._rdp_round_params()
-            self.rdp_accountant.step(q, self.privacy.noise_multiplier,
-                                     steps * num_rounds)
         if evaluate and self._eval_fn is not None:
             ev = self._eval_fn(self.global_variables, self.test_images,
                                self.test_labels)

@@ -46,13 +46,20 @@ class CoordinatorService:
         server_cfg = cfg.get("server", {})
         training_cfg = cfg.get("training", {})
 
-        # optional persistence (ref: main.py:107-110)
-        db_url = cfg.get("storage", {}).get("database_url")
-        if db_url:
-            from fl_tpu.services.database import create_database_manager
+        # optional persistence (ref: main.py:107-110, plus the restart
+        # resume the reference designed but never wired): configure either
+        # storage.model_dir (weights + sqlite there) or storage.database_url
+        storage_cfg = cfg.get("storage", {})
+        db_url = storage_cfg.get("database_url")
+        model_dir = storage_cfg.get("model_dir")
+        persistence = None
+        if model_dir or db_url:
+            from fl_tpu.services.persistence import CoordinatorPersistence
 
-            self.database = create_database_manager(db_url)
-            self.database.create_tables()
+            persistence = CoordinatorPersistence(
+                model_dir or "coordinator_models", database_url=db_url,
+            )
+            self.database = persistence.repository.db
 
         self.round_manager = RoundManager(
             round_config=round_config,
@@ -68,6 +75,7 @@ class CoordinatorService:
         servicer = FederatedLearningServicer(
             round_config=round_config,
             model_name=training_cfg.get("model", "simple_cnn"),
+            persistence=persistence,
         )
         self.grpc_server = CoordinatorGRPCServer(
             servicer,

@@ -52,6 +52,7 @@ class FederatedLearningServicer:
         model_name: str = "simple_cnn",
         converter: Optional[ProtobufConverter] = None,
         aggregator: Optional[FedAvgAggregator] = None,
+        persistence=None,
     ):
         self.round_config = round_config or RoundConfig()
         self.model_name = model_name
@@ -93,6 +94,21 @@ class FederatedLearningServicer:
             max_workers=1, thread_name_prefix="fl-aggregate"
         )
         self._aggregating = False
+
+        # restart resume (fl_tpu.services.persistence.CoordinatorPersistence):
+        # pick up at the round after the newest persisted global model —
+        # the capability the reference designed but never wired
+        # (ref: GlobalModelModel rows, src/shared/database.py:190-219)
+        self.persistence = persistence
+        if persistence is not None:
+            restored = persistence.load_latest()
+            if restored is not None:
+                round_number, model = restored
+                self.global_model = model
+                self.current_round = round_number + 1
+                logger.info(
+                    "resumed from persisted global model of round %d "
+                    "-> serving round %d", round_number, self.current_round)
 
     # ------------------------------------------------------------------ RPCs
     def RegisterClient(self, request: pb.ClientRegistration, context):
@@ -338,6 +354,14 @@ class FederatedLearningServicer:
                 self.round_start_time = time.time()
             logger.info("round %d aggregated: %d clients in %.2fs -> round %d",
                         round_number, len(updates), dt, self.current_round)
+            if self.persistence is not None:
+                try:
+                    self.persistence.save_global_model(new_model,
+                                                       train_loss=avg_loss)
+                except Exception:
+                    logger.exception(
+                        "failed to persist global model for round %d "
+                        "(serving continues)", round_number)
         except FedAvgError as e:
             logger.error("aggregation failed for round %d: %s",
                          round_number, e)

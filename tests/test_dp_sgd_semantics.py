@@ -127,3 +127,41 @@ def test_local_training_dp_masks_exactly_the_padded_slots():
         w1 = np.asarray(jax.tree.leaves(out["params"])[0])
         # every element moved by -lr * Σ wmask.sum() = -lr * n_valid
         np.testing.assert_allclose(w0 - w1, lr * n_valid, rtol=1e-5)
+
+
+def test_homogeneous_epochs_fast_path_matches_masked_path():
+    """homogeneous_epochs=True must be bit-identical to the masked path when
+    every client runs the full epoch budget (the condition under which the
+    round engine enables it)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fl_tpu.fl.local_training import (
+        FederatedTrainingConfig,
+        make_local_train_fn,
+    )
+    from fl_tpu.models import create_model
+
+    model = create_model("simple_cnn")
+    cfg = FederatedTrainingConfig(local_epochs=2, batch_size=8,
+                                  optimizer_type="adam")
+    kwargs = dict(samples_per_client=16,
+                  mean=np.zeros(1, np.float32), std=np.ones(1, np.float32))
+    fn_masked = make_local_train_fn(model, cfg, **kwargs)
+    fn_fast = make_local_train_fn(model, cfg, homogeneous_epochs=True,
+                                  **kwargs)
+
+    variables = model.init(jax.random.PRNGKey(0))
+    key = jax.random.PRNGKey(7)
+    images = jax.random.randint(key, (16, 28, 28, 1), 0, 256, jnp.uint8)
+    labels = jax.random.randint(key, (16,), 0, 10, jnp.int32)
+    args = (variables, images, labels, jnp.asarray(16, jnp.int32),
+            jnp.asarray(2, jnp.int32), jax.random.PRNGKey(1))
+
+    out_m, met_m = fn_masked(*args)
+    out_f, met_f = fn_fast(*args)
+    for a, b in zip(jax.tree.leaves(out_m), jax.tree.leaves(out_f)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_allclose(float(met_m["loss"]), float(met_f["loss"]),
+                               rtol=1e-6)

@@ -170,3 +170,62 @@ def test_hex_torch_interop_submission(server):
                          training_loss=1.2, timestamp=int(time.time()))
     decoded = conv.model_update_from_proto(msg)
     assert set(decoded.model_weights) == set(gm.model_weights)
+
+
+def test_coordinator_persists_and_resumes(tmp_path):
+    """VERDICT #10: every aggregated global model is persisted (npz weights +
+    sqlite row), and a restarted coordinator resumes serving at the round
+    after the newest persisted model, with bit-exact weights."""
+    from fl_tpu.services.persistence import CoordinatorPersistence
+
+    store = CoordinatorPersistence(str(tmp_path / "models"))
+    servicer = FederatedLearningServicer(
+        round_config=RoundConfig(min_clients=2, local_epochs=1),
+        persistence=store,
+    )
+    srv = CoordinatorGRPCServer(servicer, host="127.0.0.1", port=0)
+    port = srv.start()
+    try:
+        c1 = make_client(port, "pr_a")
+        c2 = make_client(port, "pr_b")
+        try:
+            c1.register(CAPS)
+            c2.register(CAPS)
+            gm = c1.get_global_model()
+            rnd = gm.round_number
+            w = {k: np.asarray(v) for k, v in gm.model_weights.items()}
+            for c, cid, eps in ((c1, "pr_a", 0.01), (c2, "pr_b", 0.02)):
+                ack = c.submit_model_update(ModelUpdate(
+                    client_id=cid, round_number=rnd,
+                    model_weights={k: v + eps for k, v in w.items()},
+                    num_samples=100, training_loss=0.5))
+                assert ack["success"]
+            deadline = time.time() + 30
+            while time.time() < deadline:
+                if servicer.current_round == rnd + 1:
+                    break
+                time.sleep(0.2)
+            else:
+                pytest.fail("aggregation did not advance the round")
+        finally:
+            c1.close()
+            c2.close()
+    finally:
+        srv.stop()
+    aggregated = servicer.global_model
+
+    # "restart": a brand-new servicer over the same store
+    store2 = CoordinatorPersistence(str(tmp_path / "models"))
+    resumed = FederatedLearningServicer(
+        round_config=RoundConfig(min_clients=2, local_epochs=1),
+        persistence=store2,
+    )
+    assert resumed.current_round == rnd + 1
+    assert resumed.global_model is not None
+    for k in aggregated.model_weights:
+        np.testing.assert_array_equal(
+            np.asarray(resumed.global_model.model_weights[k]),
+            np.asarray(aggregated.model_weights[k]))
+    # DB rows exist for the round and the model
+    row = store2.repository.get_round(rnd)
+    assert row is not None and row["status"] == "completed"

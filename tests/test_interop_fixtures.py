@@ -1,0 +1,184 @@
+"""Reference wire-format interop: golden byte fixtures + codegen-stub RPC.
+
+VERDICT #4: prove the torch/hex payload path and the generic-API gRPC
+handlers against *reference-format* artifacts, not just our own round-trips.
+
+- ``tests/fixtures/ref_weights_torch.bin`` — torch.save zipfile-v2 payload of
+  a weights dict, the exact bytes a reference client emits
+  (src/shared/serialization.py:27-49). ``*_legacy.bin`` is the pre-zipfile
+  pickle variant older torch emits; ``*_hex.txt`` adds the hex transport
+  quirk (serialization.py:105, grpc_utils.py:126-127). Expected values ship
+  torch-free in ``ref_weights_expected.npz``.
+- The codegen-stub test drives our generic-API server with the reference's
+  own protoc-generated ``FederatedLearningStub``
+  (/root/reference/proto/federated_learning_pb2_grpc.py:28-147) — method
+  paths, framing, and message serialization all cross the real wire. Gated
+  on the reference checkout being present.
+"""
+
+import importlib.util
+import os
+import sys
+
+import numpy as np
+import pytest
+
+FIXTURES = os.path.join(os.path.dirname(__file__), "fixtures")
+REF_PB2_GRPC = "/root/reference/proto/federated_learning_pb2_grpc.py"
+
+try:
+    import torch  # noqa: F401
+
+    HAVE_TORCH = True
+except ImportError:  # pragma: no cover
+    HAVE_TORCH = False
+
+
+def _expected():
+    with np.load(os.path.join(FIXTURES, "ref_weights_expected.npz")) as z:
+        return {k: z[k] for k in z.files}
+
+
+def _assert_weights_equal(got, want):
+    assert set(got) == set(want)
+    for k in want:
+        np.testing.assert_array_equal(np.asarray(got[k]), want[k])
+
+
+# --- golden byte fixtures ---------------------------------------------------
+
+@pytest.mark.skipif(not HAVE_TORCH, reason="torch interop codec needs torch")
+@pytest.mark.parametrize("fixture", ["ref_weights_torch.bin",
+                                     "ref_weights_torch_legacy.bin"])
+def test_reference_torch_payload_decodes(fixture):
+    from fl_tpu.services.serialization import ModelWeightSerializer
+
+    data = open(os.path.join(FIXTURES, fixture), "rb").read()
+    got = ModelWeightSerializer().deserialize_weights(data)
+    _assert_weights_equal(got, _expected())
+
+
+@pytest.mark.skipif(not HAVE_TORCH, reason="torch interop codec needs torch")
+def test_reference_hex_payload_decodes_via_converter():
+    """The full wire path: hex-in-bytes proto field -> auto-detect -> torch."""
+    from fl_tpu.services.grpc_utils import ProtobufConverter
+
+    hex_str = open(os.path.join(FIXTURES, "ref_weights_torch_hex.txt")).read()
+    got = ProtobufConverter().weights_from_bytes(hex_str.encode())
+    _assert_weights_equal(got, _expected())
+
+
+@pytest.mark.skipif(not HAVE_TORCH, reason="torch interop codec needs torch")
+def test_torch_codec_roundtrip_and_autodetect():
+    from fl_tpu.services.serialization import (
+        INTEROP_CODEC,
+        ModelWeightSerializer,
+        validate_serialization_roundtrip,
+    )
+
+    want = _expected()
+    assert validate_serialization_roundtrip(want, INTEROP_CODEC)
+    # bytes written by the torch codec are read back by the NATIVE
+    # serializer's auto-detection (mixed fleets)
+    data = ModelWeightSerializer(INTEROP_CODEC).serialize_weights(want)
+    _assert_weights_equal(ModelWeightSerializer().deserialize_weights(data),
+                          want)
+
+
+def test_torch_payload_without_torch_raises_cleanly(monkeypatch):
+    """Environments without torch must get a SerializationError, not a
+    pickle crash, on reference payloads."""
+    import builtins
+
+    from fl_tpu.services.serialization import (
+        ModelWeightSerializer,
+        SerializationError,
+    )
+
+    real_import = builtins.__import__
+
+    def no_torch(name, *a, **k):
+        if name == "torch":
+            raise ImportError("torch disabled for test")
+        return real_import(name, *a, **k)
+
+    monkeypatch.setattr(builtins, "__import__", no_torch)
+    monkeypatch.delitem(sys.modules, "torch", raising=False)
+    data = open(os.path.join(FIXTURES, "ref_weights_torch.bin"), "rb").read()
+    with pytest.raises(SerializationError):
+        ModelWeightSerializer().deserialize_weights(data)
+
+
+# --- codegen-stub RPC interop ----------------------------------------------
+
+@pytest.mark.skipif(not os.path.exists(REF_PB2_GRPC),
+                    reason="reference checkout not present")
+@pytest.mark.skipif(not HAVE_TORCH, reason="reference payloads need torch")
+def test_reference_codegen_stub_full_round_against_our_server():
+    """The reference's protoc-generated FederatedLearningStub registers,
+    downloads the global model, and submits a torch/hex ModelUpdate against
+    our generic-API coordinator — one full round over a real channel."""
+    import grpc
+
+    from fl_tpu.core.types import RoundConfig
+    from fl_tpu.services import federated_learning_pb2 as pb
+    from fl_tpu.services.grpc_server import (
+        CoordinatorGRPCServer,
+        FederatedLearningServicer,
+    )
+    from fl_tpu.services.grpc_utils import ProtobufConverter
+    from fl_tpu.services.serialization import ModelWeightSerializer
+
+    # load the reference's generated stubs, aliasing their pb2 import onto
+    # our regenerated module (same proto contract by design)
+    sys.modules.setdefault("federated_learning_pb2", pb)
+    spec = importlib.util.spec_from_file_location("ref_pb2_grpc", REF_PB2_GRPC)
+    ref = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref)
+
+    servicer = FederatedLearningServicer(
+        round_config=RoundConfig(min_clients=1, max_clients=4,
+                                 local_epochs=1, batch_size=8),
+        model_name="simple_cnn",
+    )
+    server = CoordinatorGRPCServer(servicer, host="127.0.0.1", port=0)
+    port = server.start()
+    try:
+        with grpc.insecure_channel(f"127.0.0.1:{port}") as channel:
+            stub = ref.FederatedLearningStub(channel)
+
+            reg = stub.RegisterClient(pb.ClientRegistration(
+                client_id="ref_client",
+                capabilities=pb.ClientCapabilities(
+                    compute_power=pb.COMPUTE_POWER_MEDIUM,
+                    network_bandwidth_mbps=10,
+                    available_samples=100,
+                ),
+            ))
+            assert reg.success
+
+            model = stub.GetGlobalModel(
+                pb.ModelRequest(client_id="ref_client"))
+            assert model.success
+            weights = ProtobufConverter().weights_from_bytes(
+                model.model_weights)
+            assert weights  # a real SimpleCNN weight dict came back
+
+            status = stub.GetTrainingStatus(
+                pb.StatusRequest(client_id="ref_client"))
+            current_round = status.current_round
+
+            # submit an update in the reference client's exact payload
+            # format: torch.save -> hex string -> utf-8 bytes
+            hex_payload = ModelWeightSerializer(
+                "torch").serialize_weights_hex(weights).encode()
+            ack = stub.SubmitModelUpdate(pb.ModelUpdate(
+                client_id="ref_client",
+                round_number=current_round,
+                model_weights=hex_payload,
+                num_samples=100,
+                training_loss=1.0,
+            ))
+            assert ack.success, ack.message
+    finally:
+        server.stop()

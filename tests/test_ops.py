@@ -400,3 +400,82 @@ def test_conv_stem_s2d_equals_conv_relu_pool():
     np.testing.assert_allclose(
         np.asarray(jax.vmap(conv_stem_s2d)(xs, ws, bs)),
         np.asarray(jax.vmap(ref_stem)(xs, ws, bs)), rtol=1e-4, atol=1e-4)
+
+
+# --- fast layers (patchT conv + reshape maxpool, the bench model path) -----
+
+@pytest.mark.parametrize("shape", [
+    (2, 28, 28, 1, 32),    # SimpleCNN stem (the target)
+    (3, 14, 14, 8, 16),
+    (1, 6, 6, 2, 4),
+])
+def test_conv3x3_patchT_matches_lax_conv(shape):
+    from fl_tpu.ops.fast_layers import conv3x3_patchT
+
+    B, H, W, I, O = shape
+    kx, kw, kg = jax.random.split(jax.random.PRNGKey(0), 3)
+    x = jax.random.normal(kx, (B, H, W, I), jnp.float32)
+    w = jax.random.normal(kw, (3, 3, I, O), jnp.float32) * 0.2
+    g = jax.random.normal(kg, (B, H, W, O), jnp.float32)
+
+    np.testing.assert_allclose(
+        np.asarray(conv3x3_patchT(x, w)), np.asarray(_lax_conv3x3(x, w)),
+        rtol=2e-5, atol=2e-5)
+
+    def loss(f):
+        return lambda x, w: jnp.sum(f(x, w) * g)
+
+    dx_r, dw_r = jax.grad(loss(_lax_conv3x3), (0, 1))(x, w)
+    dx_n, dw_n = jax.grad(loss(conv3x3_patchT), (0, 1))(x, w)
+    np.testing.assert_allclose(np.asarray(dx_n), np.asarray(dx_r),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(dw_n), np.asarray(dw_r),
+                               rtol=2e-5, atol=5e-5)
+
+
+def test_conv3x3_patchT_vmapped_per_client_weights():
+    from fl_tpu.ops.fast_layers import conv3x3_patchT
+
+    C = 3
+    kx, kw = jax.random.split(jax.random.PRNGKey(1))
+    x = jax.random.normal(kx, (C, 2, 14, 14, 4), jnp.float32)
+    w = jax.random.normal(kw, (C, 3, 3, 4, 8), jnp.float32) * 0.2
+    np.testing.assert_allclose(
+        np.asarray(jax.vmap(conv3x3_patchT)(x, w)),
+        np.asarray(jax.vmap(_lax_conv3x3)(x, w)), rtol=2e-5, atol=2e-5)
+
+
+def test_max_pool_2x2_matches_nn_max_pool():
+    import flax.linen as nn
+
+    from fl_tpu.ops.fast_layers import max_pool_2x2
+
+    x = jax.random.normal(jax.random.PRNGKey(2), (4, 8, 8, 16))
+    np.testing.assert_array_equal(
+        np.asarray(max_pool_2x2(x)),
+        np.asarray(nn.max_pool(x, (2, 2), strides=(2, 2))))
+    # gradient: with distinct values (no ties) it matches nn.max_pool's
+    g = jax.random.normal(jax.random.PRNGKey(3), (4, 4, 4, 16))
+    d_fast = jax.grad(lambda v: jnp.sum(max_pool_2x2(v) * g))(x)
+    d_ref = jax.grad(lambda v: jnp.sum(
+        nn.max_pool(v, (2, 2), strides=(2, 2)) * g))(x)
+    np.testing.assert_allclose(np.asarray(d_fast), np.asarray(d_ref),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_simple_cnn_fast_ops_parity():
+    """fast_ops=True: same param tree, same init, same forward values."""
+    from fl_tpu.models import create_model
+
+    m0 = create_model("simple_cnn")
+    m1 = create_model("simple_cnn", fast_ops=True)
+    v0 = m0.init(jax.random.PRNGKey(0))
+    v1 = m1.init(jax.random.PRNGKey(0))
+    assert jax.tree.structure(v0) == jax.tree.structure(v1)
+    for a, b in zip(jax.tree.leaves(v0), jax.tree.leaves(v1)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    x = jax.random.normal(jax.random.PRNGKey(4), (4, 28, 28, 1))
+    y0, _ = m0.apply(v0, x, train=False)
+    y1, _ = m1.apply(v0, x, train=False)
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1),
+                               rtol=2e-5, atol=2e-5)
