@@ -16,6 +16,7 @@ bench reports vs_baseline as the fraction of that 50 rounds/sec target
 Prints exactly ONE JSON line on stdout.
 """
 
+import argparse
 import json
 import os
 import sys
@@ -27,7 +28,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # minutes; cache hits bring reruns to seconds
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 
-NUM_CLIENTS = 512
+NUM_CLIENTS = int(os.environ.get("BENCH_CLIENTS", "512"))
 SAMPLES_PER_CLIENT = 64
 LOCAL_EPOCHS = 5
 BATCH_SIZE = 32
@@ -35,7 +36,52 @@ TIMED_ROUNDS = 20
 TARGET_ROUNDS_PER_SEC = 50.0  # north-star on v5e-8
 
 
+def parse_args():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--mesh", type=int, default=0, metavar="N",
+                   help="shard the client axis over an N-device mesh (the "
+                        "north-star v5e-8 configuration). With fewer than N "
+                        "real devices the bench re-runs itself on an "
+                        "N-device virtual CPU mesh (slow, but the exact "
+                        "program a slice would run).")
+    p.add_argument("--rounds", type=int, default=TIMED_ROUNDS)
+    p.add_argument("--no-reexec", action="store_true", help=argparse.SUPPRESS)
+    return p.parse_args()
+
+
 def main() -> None:
+    args = parse_args()
+
+    if args.mesh and not args.no_reexec:
+        # Probe the device count in a THROWAWAY subprocess: importing jax
+        # here would initialize (and hold) the axon TPU backend in this
+        # parent for the whole child run, serializing any other TPU user.
+        import subprocess
+
+        probe = subprocess.run(
+            [sys.executable, "-c",
+             "import jax, sys; "
+             f"sys.exit(0 if len(jax.devices()) >= {args.mesh} else 1)"],
+            timeout=300,
+        )
+        if probe.returncode != 0:
+            # single-chip environment: rerun on a virtual CPU mesh (same
+            # program, same shardings a real slice would execute)
+            env = dict(os.environ)
+            env["JAX_PLATFORMS"] = "cpu"
+            env["PALLAS_AXON_POOL_IPS"] = ""  # axon overrides JAX_PLATFORMS
+            env["XLA_FLAGS"] = (
+                env.get("XLA_FLAGS", "")
+                + f" --xla_force_host_platform_device_count={args.mesh}"
+            ).strip()
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--mesh", str(args.mesh), "--rounds", str(args.rounds),
+                 "--no-reexec"],
+                env=env, timeout=3600,
+            )
+            sys.exit(proc.returncode)
+
     import jax
 
     try:
@@ -64,6 +110,14 @@ def main() -> None:
         splits, num_clients=NUM_CLIENTS, strategy="iid",
         samples_per_client=SAMPLES_PER_CLIENT, seed=0,
     )
+    mesh = None
+    if args.mesh:
+        from fl_tpu.core.mesh import make_mesh
+
+        mesh = make_mesh(args.mesh)
+        print(f"mesh: {args.mesh} devices, client axis sharded",
+              file=sys.stderr)
+
     # bf16 compute (params stay f32): the MXU-native dtype, ~1.3x round
     # throughput at equal accuracy on this workload
     model = create_model("simple_cnn", dtype=jnp.bfloat16)
@@ -74,12 +128,12 @@ def main() -> None:
         ),
         dp_mode="delta",
         privacy=PrivacyConfig(epsilon=1.0, delta=1e-5, max_grad_norm=1.0),
-        epsilon_per_round=1.0 / (TIMED_ROUNDS + 8),
-        delta_per_round=1e-5 / (TIMED_ROUNDS + 8),
+        epsilon_per_round=1.0 / (args.rounds + 8),
+        delta_per_round=1e-5 / (args.rounds + 8),
         max_clients=NUM_CLIENTS,
         seed=0,
     )
-    engine = FederatedRoundEngine(model, arrays, cfg)
+    engine = FederatedRoundEngine(model, arrays, cfg, mesh=mesh)
 
     t0 = time.perf_counter()
     engine.run_round(evaluate=False)  # compile + warmup
@@ -90,21 +144,22 @@ def main() -> None:
     # lax.scan at this round granularity (~1 s/round); run_rounds_fused
     # exists for dispatch-bound scales (docs/performance.md)
     t0 = time.perf_counter()
-    for _ in range(TIMED_ROUNDS):
+    for _ in range(args.rounds):
         engine.run_round(evaluate=False)
     # run_round blocks on host-side float() conversions, so timing is sync'd
     dt = time.perf_counter() - t0
-    rounds_per_sec = TIMED_ROUNDS / dt
+    rounds_per_sec = args.rounds / dt
     client_rounds_per_sec = rounds_per_sec * NUM_CLIENTS
 
     print(
-        f"{TIMED_ROUNDS} rounds in {dt:.2f}s -> {rounds_per_sec:.2f} rounds/s "
+        f"{args.rounds} rounds in {dt:.2f}s -> {rounds_per_sec:.2f} rounds/s "
         f"({client_rounds_per_sec:.0f} client-rounds/s)",
         file=sys.stderr,
     )
 
+    suffix = f"mesh{args.mesh}" if args.mesh else "v5e1"
     print(json.dumps({
-        "metric": "dp_fedavg_rounds_per_sec_512clients_mnist_v5e1",
+        "metric": f"dp_fedavg_rounds_per_sec_512clients_mnist_{suffix}",
         "value": round(rounds_per_sec, 3),
         "unit": "rounds/sec",
         "vs_baseline": round(rounds_per_sec / TARGET_ROUNDS_PER_SEC, 4),

@@ -30,6 +30,7 @@ class Stream(enum.IntEnum):
     PARTICIPATION = 4
     AUGMENT = 5
     EVAL = 6
+    SECURE_AGG = 7
 
 
 def root_key(seed: int) -> jax.Array:

@@ -131,8 +131,11 @@ def make_local_train_fn(
     - ``rng``: per-client, per-round PRNG key
 
     vmap this over the leading client axis of every argument to get the
-    whole-population trainer. ``dp_sgd_fn``, when given, transforms per-step
-    gradients (per-example clip + noise) — see fl_tpu.fl.privacy.
+    whole-population trainer. ``dp_sgd_fn``, when given, replaces the
+    per-step gradient with a per-example-clipped noised one (see
+    fl_tpu.fl.privacy); its first argument receives None — the plain batch
+    gradient is never computed in DP mode (metrics come from a
+    forward-only pass).
 
     ``homogeneous_epochs=True`` promises every client runs exactly
     ``max_epochs`` epochs, which removes the three per-step masked
@@ -195,10 +198,18 @@ def make_local_train_fn(
                 dkey = jax.random.fold_in(
                     dropout_key, epoch_idx * steps_per_epoch + step_idx
                 )
-                (loss, (acc, new_extra)), grads = grad_fn(
-                    params, extra, xb, yb, dkey
-                )
-                if dp_sgd_fn is not None:
+                if dp_sgd_fn is None:
+                    (loss, (acc, new_extra)), grads = grad_fn(
+                        params, extra, xb, yb, dkey
+                    )
+                else:
+                    # metrics come from a forward pass only — the plain
+                    # batch gradient would be discarded (the DP transform
+                    # recomputes with per-example clipping), so don't pay
+                    # its backward
+                    loss, (acc, new_extra) = loss_fn(
+                        params, extra, xb, yb, dkey
+                    )
                     # DP-SGD batches must NOT remap padded slots onto real
                     # examples — a duplicated example would participate in
                     # several noised contributions per epoch (and up to
@@ -213,7 +224,7 @@ def make_local_train_fn(
                     )
                     wmask = (idx_raw < n).astype(jnp.float32)
                     grads = dp_sgd_fn(
-                        grads, params, extra, xb, yb, wmask, dkey,
+                        None, params, extra, xb, yb, wmask, dkey,
                         jax.random.fold_in(
                             prng.stream_key(rng, prng.Stream.DP_NOISE),
                             epoch_idx * steps_per_epoch + step_idx,

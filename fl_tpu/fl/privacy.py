@@ -116,6 +116,8 @@ def dp_noise_client_deltas(
     delta: float,
     max_norm: float,
     use_pallas: Optional[bool] = None,
+    mesh=None,
+    interpret: bool = False,
 ) -> Tuple[Any, jax.Array, jax.Array]:
     """Population version: reference-mode DP over stacked client deltas
     (leading axis C). Each client gets an independent noise stream derived
@@ -123,7 +125,13 @@ def dp_noise_client_deltas(
 
     On TPU this routes through the fused Pallas clip+noise kernel over the
     flat (C, D) update matrix (fl_tpu.ops.dp); elsewhere it is the vmapped
-    tree-based jnp path. Both share the same clip/σ math."""
+    tree-based jnp path. Both share the same clip/σ math.
+
+    With ``mesh`` given, the Pallas kernel runs under ``jax.shard_map`` over
+    the mesh's client axis: the computation is purely per-client, so each
+    device runs the kernel on its local (C/n, D) block with zero
+    collectives — making the fused kernel usable inside the sharded
+    superstep (it previously fell back to jnp under a mesh)."""
     from fl_tpu.ops import dp as dp_kernels
     from fl_tpu.ops.flatten import flat_dim, stack_flatten, stack_unflatten
 
@@ -136,10 +144,29 @@ def dp_noise_client_deltas(
     if use_pallas:
         mat, spec = stack_flatten(stacked_deltas)
         d_valid = flat_dim(stacked_deltas)
-        noisy_mat, sens, sigma = dp_kernels.clip_noise_matrix(
-            mat, nkeys, epsilon, delta, max_norm,
-            d_valid=d_valid, use_pallas=True,
-        )
+
+        def kernel(mat_blk, keys_blk):
+            return dp_kernels.clip_noise_matrix(
+                mat_blk, keys_blk, epsilon, delta, max_norm,
+                d_valid=d_valid, use_pallas=True, interpret=interpret,
+            )
+
+        if mesh is not None:
+            from jax.sharding import PartitionSpec as P
+
+            from fl_tpu.core.mesh import CLIENT_AXIS
+
+            axis = mesh.axis_names[0] if mesh.axis_names else CLIENT_AXIS
+            spec_c = P(axis)
+            # check_vma=False: pallas_call's out_shape carries no
+            # varying-mesh-axes annotation, which the checker requires
+            kernel = jax.shard_map(
+                kernel, mesh=mesh,
+                in_specs=(spec_c, spec_c),
+                out_specs=(spec_c, spec_c, spec_c),
+                check_vma=False,
+            )
+        noisy_mat, sens, sigma = kernel(mat, nkeys)
         return stack_unflatten(noisy_mat, spec), sens, sigma
 
     def one(delta_tree, nkey):
@@ -264,6 +291,146 @@ def make_dp_sgd_grad_fn(
         return jax.tree.unflatten(treedef, noisy)
 
     return dp_grad
+
+
+def make_ghost_dp_sgd_grad_fn(
+    model,
+    max_grad_norm: float,
+    noise_multiplier: float,
+    norm_chunk: int = 64,
+) -> Callable:
+    """Ghost-norm (two-pass) DP-SGD: same mechanism as
+    :func:`make_dp_sgd_grad_fn` without ever materializing per-example
+    gradient trees.
+
+    The microbatch implementation pays ~8× a plain step because the
+    per-example gradients of the fc1 kernel alone are B × 401K floats. The
+    ghost formulation (Goodfellow 2015; Li et al. 2021 "ghost clipping")
+    computes each example's gradient *norm* from per-layer
+    (input activation, output gradient) pairs obtained in ONE batched
+    backward, then gets the clipped-sum gradient from a second batched
+    backward of the scale-reweighted loss:
+
+    - pass 1: forward with ``dp_capture`` (layer inputs) + one backward
+      w.r.t. zero ``dp_perturb`` offsets at each layer's pre-activation —
+      its gradient IS the per-example layer-output gradient dy_i (examples
+      are independent in a summed loss);
+    - per-example norms: Dense kernels use the exact ghost identity
+      ‖g_i‖² = ‖x_i‖²·‖dy_i‖²; 3×3 convs (tiny kernels here) form the
+      per-example weight grad explicitly as one batched patch GEMM
+      (fl_tpu.ops.fast_layers lane-major patches); biases use ‖Σ_s dy‖²;
+    - pass 2: d/dθ Σ_i s_i·loss_i with s_i = min(1, C/‖g_i‖)·mask_i gives
+      the clipped masked sum in one backward.
+
+    Total ≈ 1 forward + 2 backwards ≈ 2-3× a plain step. Noise is applied
+    identically (same key-split order) to the microbatch path, so both
+    implementations produce the SAME noisy gradient for the same inputs —
+    asserted in tests/test_dp_sgd_semantics.py.
+
+    Requires a model whose module declares ``DP_LAYERS`` and supports the
+    ``dp_capture`` / ``dp_perturb`` kwargs (SimpleCNN). The model must not
+    carry batch statistics (none of the instrumented models do).
+    """
+    import optax
+
+    from fl_tpu.ops.fast_layers import _dy_lane_major, _patches_lane_major
+
+    module = model.module
+    layers = module.DP_LAYERS
+
+    def per_example_losses(logits, yb):
+        return optax.softmax_cross_entropy_with_integer_labels(logits, yb)
+
+    def dp_grad(params, extra, xb, yb, wmask, dkey, noise_key):
+        batch = xb.shape[0]
+        variables = {"params": params, **extra}
+        rngs = {"dropout": dkey}
+
+        # pass 1a: capture layer inputs (plain forward)
+        _, caps = module.apply(variables, xb, train=True, rngs=rngs,
+                               dp_capture=True)
+
+        # pass 1b: per-example layer-output grads via zero perturbations
+        def preact_shape(name, kind):
+            out_features = params[name]["kernel"].shape[-1]
+            if kind == "conv3x3":
+                return caps[name].shape[:-1] + (out_features,)
+            return (batch, out_features)
+
+        zeros = {name: jnp.zeros(preact_shape(name, kind), jnp.float32)
+                 for name, kind in layers}
+
+        def summed_loss_of_perturb(perturb):
+            logits, _ = module.apply(variables, xb, train=True, rngs=rngs,
+                                     dp_perturb=perturb, dp_capture=True)
+            return jnp.sum(per_example_losses(logits, yb))
+
+        dys = jax.grad(summed_loss_of_perturb)(zeros)
+
+        # per-example global grad norm²
+        def conv_sq(a_c, dy_c):
+            """(m,H,W,I), (m,H,W,O) -> (m,) kernel+bias grad norm²."""
+            P = _patches_lane_major(a_c)               # (m, 9I, M)
+            dy2 = _dy_lane_major(dy_c)                 # (m, M, O)
+            g = jnp.einsum("bkm,bmo->bko", P, dy2)     # per-ex kernel grad
+            bg = jnp.sum(dy_c, axis=(1, 2))            # (m, O) bias grad
+            return jnp.sum(g * g, axis=(1, 2)) + jnp.sum(bg * bg, axis=1)
+
+        sq = jnp.zeros((batch,), jnp.float32)
+        for name, kind in layers:
+            a = caps[name].astype(jnp.float32)
+            dy = dys[name].astype(jnp.float32)
+            if kind == "dense":
+                dy_sq = jnp.sum(dy * dy, axis=1)
+                sq += jnp.sum(a * a, axis=1) * dy_sq   # kernel (ghost)
+                sq += dy_sq                            # bias
+            elif kind == "conv3x3":
+                # patch matrices are 9I/I × the activation: chunk the batch
+                # so the transient (m, 9I, M) buffers stay small even when
+                # this runs vmapped over hundreds of clients
+                m = norm_chunk if batch % norm_chunk == 0 else batch
+                if m < batch:
+                    ac = a.reshape((batch // m, m) + a.shape[1:])
+                    dyc = dy.reshape((batch // m, m) + dy.shape[1:])
+                    _, sqs = jax.lax.scan(
+                        lambda carry, ad: (carry, conv_sq(*ad)), None,
+                        (ac, dyc))
+                    sq += sqs.reshape(batch)
+                else:
+                    sq += conv_sq(a, dy)
+            else:  # pragma: no cover
+                raise ValueError(f"unknown DP layer kind: {kind}")
+        norms = jnp.sqrt(sq)
+        scale = jnp.minimum(1.0, max_grad_norm / jnp.maximum(norms, 1e-12))
+        scale = scale * jnp.asarray(wmask, jnp.float32)
+
+        # pass 2: clipped masked sum via the reweighted loss
+        def weighted_loss(p):
+            logits = module.apply({"params": p, **extra}, xb, train=True,
+                                  rngs=rngs)
+            return jnp.sum(per_example_losses(logits, yb)
+                           * jax.lax.stop_gradient(scale))
+
+        clipped_sum = jax.grad(weighted_loss)(params)
+        mean_grad = jax.tree.map(lambda g: g / batch, clipped_sum)
+
+        # noise: identical stream discipline to make_dp_sgd_grad_fn
+        sigma = noise_multiplier * max_grad_norm / batch
+        leaves, treedef = jax.tree.flatten(mean_grad)
+        keys = jax.random.split(noise_key, len(leaves))
+        noisy = [
+            g + sigma * jax.random.normal(k, g.shape, g.dtype)
+            for g, k in zip(leaves, keys)
+        ]
+        return jax.tree.unflatten(treedef, noisy)
+
+    return dp_grad
+
+
+def model_supports_ghost_dp(model) -> bool:
+    """True when the model's module declares the ghost-norm instrumentation
+    contract (``DP_LAYERS`` + dp_capture/dp_perturb kwargs)."""
+    return hasattr(getattr(model, "module", None), "DP_LAYERS")
 
 
 # ---------------------------------------------------------------------------

@@ -20,17 +20,33 @@ class SimpleCNN(nn.Module):
     """``fast_ops=True`` swaps the stem conv and the pools for the
     GEMM-shaped formulations in fl_tpu.ops.fast_layers (same parameter
     tree and forward values; maxpool gradient splits ties instead of
-    scattering to one argmax). Used by the 512-client bench path where
-    XLA's grouped-conv lowering of the vmapped per-client conv costs
-    layout copies + a slow wgrad (see that module's docstring)."""
+    scattering to one argmax). Measured NET-NEGATIVE on the 512-client
+    bench (docs/performance.md, round-2 campaign table) — XLA's global
+    layout assignment wins — so it stays off by default; kept as a tested
+    formulation alternative.
+
+    DP instrumentation (ghost-norm clipping, fl_tpu.fl.privacy
+    ``make_ghost_dp_sgd_grad_fn``): ``dp_capture=True`` additionally
+    returns each parameterized layer's *input* activation, and
+    ``dp_perturb`` (a dict of zero arrays shaped like each layer's
+    pre-activation output) is added at those points so one batched
+    backward w.r.t. the perturbations yields every example's layer-output
+    gradients. Neither knob changes the parameter tree or forward values.
+    ``DP_LAYERS`` declares the instrumented layer geometry
+    (name -> kind) consumed by the ghost-norm engine.
+    """
 
     num_classes: int = 10
     dropout_rate: float = 0.25
     dtype: jnp.dtype = jnp.float32
     fast_ops: bool = False
 
+    DP_LAYERS = (("conv1", "conv3x3"), ("conv2", "conv3x3"),
+                 ("fc1", "dense"), ("fc2", "dense"))
+
     @nn.compact
-    def __call__(self, x, *, train: bool = False):
+    def __call__(self, x, *, train: bool = False, dp_perturb=None,
+                 dp_capture: bool = False):
         if self.fast_ops:
             from fl_tpu.ops.fast_layers import FastConv3x3, max_pool_2x2
 
@@ -40,16 +56,36 @@ class SimpleCNN(nn.Module):
             conv1 = nn.Conv(32, (3, 3), padding="SAME", dtype=self.dtype,
                             name="conv1")
             pool = lambda v: nn.max_pool(v, (2, 2), strides=(2, 2))  # noqa: E731
+
+        captures = {}
+
+        def tap(name, t):
+            if dp_capture:
+                captures[name] = t
+            return t
+
+        def pert(name, t):
+            if dp_perturb is not None:
+                t = t + dp_perturb[name].astype(t.dtype)
+            return t
+
         x = x.astype(self.dtype)
-        x = conv1(x)
+        x = tap("conv1", x)
+        x = pert("conv1", conv1(x))
         x = nn.relu(x)
         x = pool(x)
-        x = nn.Conv(64, (3, 3), padding="SAME", dtype=self.dtype, name="conv2")(x)
+        x = tap("conv2", x)
+        x = pert("conv2", nn.Conv(64, (3, 3), padding="SAME",
+                                  dtype=self.dtype, name="conv2")(x))
         x = nn.relu(x)
         x = pool(x)
         x = x.reshape((x.shape[0], -1))  # (B, 7*7*64)
-        x = nn.Dense(128, dtype=self.dtype, name="fc1")(x)
+        x = tap("fc1", x)
+        x = pert("fc1", nn.Dense(128, dtype=self.dtype, name="fc1")(x))
         x = nn.relu(x)
         x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
-        x = nn.Dense(self.num_classes, dtype=self.dtype, name="fc2")(x)
-        return x.astype(jnp.float32)
+        x = tap("fc2", x)
+        x = pert("fc2", nn.Dense(self.num_classes, dtype=self.dtype,
+                                 name="fc2")(x))
+        out = x.astype(jnp.float32)
+        return (out, captures) if dp_capture else out

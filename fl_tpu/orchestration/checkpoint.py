@@ -118,7 +118,15 @@ def save_engine_checkpoint(engine, directory: str) -> Path:
         # without this a resumed dp_sgd/client_dp run would restart RDP
         # accounting from zero and silently overdraw the ε bound
         host_state["rdp_accountant"] = engine.rdp_accountant.state_dict()
-    return mgr.save(engine.round_number, engine.global_variables, host_state)
+    path = mgr.save(engine.round_number, engine.global_variables, host_state)
+    if getattr(engine, "server_opt_state", None) is not None:
+        # adaptive server optimizers (FedAdam/FedYogi/FedAvgM) accumulate
+        # moments across rounds; a resume without them would restart the
+        # server optimizer cold
+        mgr._ckpt.save(path / "server_opt_state", engine.server_opt_state,
+                       force=True)
+        mgr._ckpt.wait_until_finished()
+    return path
 
 
 def restore_engine_checkpoint(engine, directory: str,
@@ -132,6 +140,10 @@ def restore_engine_checkpoint(engine, directory: str,
     state = mgr.restore(step, template=engine.global_variables)
     engine.global_variables = state["variables"]
     engine.round_number = state["round_number"]
+    opt_dir = mgr._step_dir(state["round_number"]) / "server_opt_state"
+    if opt_dir.exists() and getattr(engine, "_server_opt", None) is not None:
+        template = engine._server_opt.init(engine.global_variables["params"])
+        engine.server_opt_state = mgr._ckpt.restore(opt_dir, template)
     hs = state["host_state"]
     if "privacy_budget" in hs and engine.budget_tracker is not None:
         engine.budget_tracker.load_state_dict(hs["privacy_budget"])

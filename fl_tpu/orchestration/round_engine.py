@@ -80,6 +80,27 @@ class RoundEngineConfig:
     # DP-SGD per-example-grad chunk size: peak memory is
     # clients × dp_microbatch × |params| (see fl.privacy.make_dp_sgd_grad_fn)
     dp_microbatch: int = 16
+    # DP-SGD implementation: "auto" uses ghost-norm clipping (two batched
+    # backwards, no per-example grad trees — fl.privacy
+    # make_ghost_dp_sgd_grad_fn) when the model is instrumented for it,
+    # else the microbatched per-example path. "ghost" forces it (errors if
+    # unsupported); "microbatch" forces the reference formulation.
+    dp_sgd_impl: str = "auto"
+    # server-side optimizer on the FedAvg pseudo-gradient (Reddi et al.
+    # 2021): "none" (plain FedAvg replacement, the reference behavior) |
+    # "fedavgm" | "fedadam" | "fedyogi" — see fl.server_optimizer
+    server_optimizer: str = "none"
+    server_lr: float = 1.0
+    server_momentum: float = 0.9
+    server_b1: float = 0.9
+    server_b2: float = 0.99
+    server_eps: float = 1e-3
+    # secure aggregation: pairwise additive masking (SecAgg-style ring
+    # graph) so the aggregator only ever sees masked per-client payloads —
+    # see fl.secure_agg. Composes with the DP modes.
+    secure_aggregation: bool = False
+    secure_agg_neighbors: int = 8
+    secure_agg_scale: float = 1.0
 
 
 @dataclasses.dataclass
@@ -158,6 +179,22 @@ class FederatedRoundEngine:
         self._augment_fn = augment_fn
         self._built_homogeneous: Optional[bool] = None
         self._build_pipeline()
+
+        # server-side optimizer on the FedAvg pseudo-gradient (see
+        # fl_tpu.fl.server_optimizer; "none" = reference behavior)
+        from fl_tpu.fl.server_optimizer import (
+            make_server_optimizer,
+            make_server_update_fn,
+        )
+
+        self._server_opt = make_server_optimizer(
+            config.server_optimizer, learning_rate=config.server_lr,
+            momentum=config.server_momentum, b1=config.server_b1,
+            b2=config.server_b2, eps=config.server_eps,
+        )
+        self._server_update = (make_server_update_fn(self._server_opt)
+                               if self._server_opt is not None else None)
+        self.server_opt_state = None
         self._eval_fn = make_eval_fn(model) if test_images is not None else None
         if test_images is not None:
             self.test_images = jnp.asarray(test_images)
@@ -216,21 +253,42 @@ class FederatedRoundEngine:
         dp_sgd_fn = None
         if config.dp_mode == "dp_sgd":
             from fl_tpu.fl.local_training import cross_entropy_loss
-
-            def loss_fn(params, extra, xb, yb, dkey):
-                variables = {"params": params, **extra}
-                logits, _ = model.apply(variables, xb, train=True,
-                                        dropout_rng=dkey)
-                return cross_entropy_loss(logits, yb), None
-
-            base = dp.make_dp_sgd_grad_fn(
-                loss_fn, self.privacy.max_grad_norm,
-                self.privacy.noise_multiplier,
-                microbatch_size=config.dp_microbatch,
+            from fl_tpu.fl.privacy import (
+                make_ghost_dp_sgd_grad_fn,
+                model_supports_ghost_dp,
             )
 
+            impl = config.dp_sgd_impl
+            if impl not in ("auto", "ghost", "microbatch"):
+                raise ValueError(f"dp_sgd_impl={impl!r} not in "
+                                 "('auto', 'ghost', 'microbatch')")
+            if impl == "ghost" and not model_supports_ghost_dp(model):
+                raise ValueError(
+                    f"dp_sgd_impl='ghost' but model {model.name!r} lacks the "
+                    "DP_LAYERS instrumentation contract")
+            use_ghost = (impl == "ghost"
+                         or (impl == "auto"
+                             and model_supports_ghost_dp(model)))
+            if use_ghost:
+                base = make_ghost_dp_sgd_grad_fn(
+                    model, self.privacy.max_grad_norm,
+                    self.privacy.noise_multiplier,
+                )
+            else:
+                def loss_fn(params, extra, xb, yb, dkey):
+                    variables = {"params": params, **extra}
+                    logits, _ = model.apply(variables, xb, train=True,
+                                            dropout_rng=dkey)
+                    return cross_entropy_loss(logits, yb), None
+
+                base = dp.make_dp_sgd_grad_fn(
+                    loss_fn, self.privacy.max_grad_norm,
+                    self.privacy.noise_multiplier,
+                    microbatch_size=config.dp_microbatch,
+                )
+
             def dp_sgd_fn(grads, params, extra, xb, yb, wmask, dkey, nkey):
-                del grads  # recomputed per-example
+                del grads  # recomputed with per-example clipping
                 return base(params, extra, xb, yb, wmask, dkey, nkey)
 
         homogeneous = self._is_homogeneous()
@@ -269,7 +327,9 @@ class FederatedRoundEngine:
         if use_pallas_dp is None:
             from fl_tpu.ops.dp import on_tpu
 
-            use_pallas_dp = on_tpu() and self.mesh is None
+            # mesh-compatible: under a mesh the kernel runs in a shard_map
+            # over the client axis (purely per-client work, no collectives)
+            use_pallas_dp = on_tpu()
         if self.privacy is not None:
             eps_r = cfg.epsilon_per_round or self.privacy.epsilon
             del_r = cfg.delta_per_round or self.privacy.delta
@@ -305,7 +365,7 @@ class FederatedRoundEngine:
                 )
                 noisy_deltas, sens, sigma = dp.dp_noise_client_deltas(
                     deltas, keys, eps_r, del_r, max_norm,
-                    use_pallas=use_pallas_dp,
+                    use_pallas=use_pallas_dp, mesh=self.mesh,
                 )
                 new_stacked = jax.tree.map(
                     lambda d, g: d + g[None], noisy_deltas, global_vars
@@ -360,9 +420,19 @@ class FederatedRoundEngine:
                         ),
                         global_vars["batch_stats"],
                     )
-                new_global = fa.fedavg_delta(
-                    global_vars, agg_src, num_samples, mask
-                )
+                if cfg.secure_aggregation:
+                    from fl_tpu.fl.secure_agg import secure_fedavg_delta
+
+                    new_global = secure_fedavg_delta(
+                        global_vars, agg_src, num_samples, mask,
+                        prng.round_key(self._root_key, round_idx),
+                        neighbors=cfg.secure_agg_neighbors,
+                        scale=cfg.secure_agg_scale,
+                    )
+                else:
+                    new_global = fa.fedavg_delta(
+                        global_vars, agg_src, num_samples, mask
+                    )
 
             # convergence norms (device-side; host detector consumes scalars)
             w_change = pt.global_norm(pt.tree_sub(new_global, global_vars))
@@ -498,6 +568,17 @@ class FederatedRoundEngine:
             self.data.labels,
             self.data.num_samples,
         )
+        if self._server_update is not None:
+            # adaptive server step on the pseudo-gradient x_t - fedavg(x)
+            # (params only; batch_stats keep the FedAvg result)
+            old_params = self.global_variables["params"]
+            if self.server_opt_state is None:
+                self.server_opt_state = self._server_opt.init(old_params)
+            new_params, self.server_opt_state = self._server_update(
+                old_params, new_global["params"], self.server_opt_state
+            )
+            new_global = dict(new_global)
+            new_global["params"] = new_params
         self.global_variables = new_global
 
         if (cfg.dp_mode in ("dp_sgd", "client_dp")
@@ -621,6 +702,12 @@ class FederatedRoundEngine:
         shape for throughput benchmarking (BASELINE config #5).
         """
         cfg = self.config
+        if self._server_opt is not None:
+            raise ValueError(
+                "run_rounds_fused does not support a server optimizer "
+                "(its state lives on the host between rounds); use "
+                "run_round / run"
+            )
         if masks is None:
             masks = np.stack([self.sample_participation()
                               for _ in range(num_rounds)])

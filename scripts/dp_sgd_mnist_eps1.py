@@ -8,8 +8,9 @@ $FL_TPU_DATA_DIR (this script picks them up automatically):
 **96.9% test accuracy at RDP-accounted ε = 1.000** with
 128 DP-SGD federated clients — per-example clipping (C=1) + Gaussian noise
 z calibrated by the moments accountant so 30 rounds × 32 steps land exactly
-on the ε budget. ~18 s/round (per-example gradients cost ~8× plain
-training).
+on the ε budget. ~6.5 s/round with the default ghost-norm clipping
+(fl_tpu.fl.privacy.make_ghost_dp_sgd_grad_fn; the microbatched per-example
+formulation, --dp-impl microbatch, measures ~18 s/round).
 
 Run: python scripts/dp_sgd_mnist_eps1.py [--clients 128] [--rounds 20]
 """
@@ -32,6 +33,10 @@ def main() -> int:
     p.add_argument("--delta", type=float, default=1e-5)
     p.add_argument("--lr", type=float, default=0.1)
     p.add_argument("--target", type=float, default=0.91)
+    p.add_argument("--dp-impl", default="auto",
+                   choices=["auto", "ghost", "microbatch"],
+                   help="DP-SGD implementation (ghost-norm two-pass vs "
+                        "per-example microbatch; see fl_tpu.fl.privacy)")
     args = p.parse_args()
 
     import jax.numpy as jnp
@@ -69,6 +74,7 @@ def main() -> int:
             privacy=PrivacyConfig(epsilon=args.epsilon, delta=args.delta,
                                   max_grad_norm=1.0, noise_multiplier=z),
             max_clients=args.clients, seed=0, dp_microbatch=8,
+            dp_sgd_impl=args.dp_impl,
         ),
         test_images=splits.normalized(splits.test_images),
         test_labels=splits.test_labels,

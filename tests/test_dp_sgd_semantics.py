@@ -108,7 +108,9 @@ def test_local_training_dp_masks_exactly_the_padded_slots():
                                   momentum=0.0)
 
     def probe_dp_fn(grads, params, extra, xb, yb, wmask, dkey, nkey):
-        return jax.tree.map(lambda g: jnp.full_like(g, wmask.sum()), grads)
+        # grads is None (the plain batch gradient is not computed in DP
+        # mode); shape the probe output from params
+        return jax.tree.map(lambda p: jnp.full_like(p, wmask.sum()), params)
 
     fn = make_local_train_fn(
         model, cfg, samples_per_client=32,
@@ -165,3 +167,58 @@ def test_homogeneous_epochs_fast_path_matches_masked_path():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     np.testing.assert_allclose(float(met_m["loss"]), float(met_f["loss"]),
                                rtol=1e-6)
+
+
+def test_ghost_dp_sgd_matches_microbatch_impl():
+    """Ghost-norm two-pass DP-SGD must produce the same noisy gradient as
+    the per-example microbatch implementation, given the same inputs and
+    noise key (dropout disabled: the microbatch path applies one
+    single-example mask to every example while the ghost path draws a
+    batch-shaped mask — with rate 0 both are the identity)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fl_tpu.fl.local_training import cross_entropy_loss
+    from fl_tpu.fl.privacy import (
+        make_dp_sgd_grad_fn,
+        make_ghost_dp_sgd_grad_fn,
+        model_supports_ghost_dp,
+    )
+    from fl_tpu.models import create_model
+
+    model = create_model("simple_cnn", dropout_rate=0.0)
+    assert model_supports_ghost_dp(model)
+    variables = model.init(jax.random.PRNGKey(0))
+    params = variables["params"]
+
+    def loss_fn(p, extra, xb, yb, dkey):
+        logits, _ = model.apply({"params": p, **extra}, xb, train=True,
+                                dropout_rng=dkey)
+        return cross_entropy_loss(logits, yb), None
+
+    C, z = 0.7, 1.1
+    micro = make_dp_sgd_grad_fn(loss_fn, C, z, microbatch_size=4)
+    ghost = make_ghost_dp_sgd_grad_fn(model, C, z)
+
+    B = 8
+    kx, ky = jax.random.split(jax.random.PRNGKey(5))
+    xb = jax.random.normal(kx, (B, 28, 28, 1), jnp.float32)
+    yb = jax.random.randint(ky, (B,), 0, 10)
+    wmask = jnp.asarray([1, 1, 1, 0, 1, 1, 0, 1], jnp.float32)
+    dkey = jax.random.PRNGKey(1)
+    nkey = jax.random.PRNGKey(2)
+
+    ghost_chunked = make_ghost_dp_sgd_grad_fn(model, C, z, norm_chunk=4)
+
+    g_micro = micro(params, {}, xb, yb, wmask, dkey, nkey)
+    for impl in (ghost, ghost_chunked):
+        g_ghost = impl(params, {}, xb, yb, wmask, dkey, nkey)
+        for (pa, a), (pb, b) in zip(
+            jax.tree_util.tree_leaves_with_path(g_micro),
+            jax.tree_util.tree_leaves_with_path(g_ghost),
+        ):
+            assert pa == pb
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=2e-5,
+                                       err_msg=str(pa))

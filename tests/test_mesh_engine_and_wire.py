@@ -186,3 +186,43 @@ def test_round_config_defaults_golden():
     assert rc.learning_rate == pytest.approx(0.001)
     assert rc.timeout_seconds == 300
     assert rc.optimizer_type == "adam"
+
+
+def test_pallas_dp_kernel_under_mesh_shard_map(mesh8):
+    """VERDICT #7: the fused Pallas clip+noise kernel runs under a
+    shard_map over the client axis (interpret mode on CPU) and produces
+    exactly the unsharded kernel's output — per-client work, no
+    collectives, so sharding is a pure layout change.
+
+    C=8 on the 8-device mesh (one client per shard): the TPU-semantics
+    Pallas *interpreter* effectively live-locks when a shard's grid has
+    more than one client row under shard_map (8 devices × interpreter
+    callbacks); real hardware doesn't use the interpreter and runs any
+    per-shard grid."""
+    import jax.numpy as jnp
+
+    from fl_tpu.core import prng
+    from fl_tpu.fl.privacy import dp_noise_client_deltas
+
+    C = 8
+    rng = np.random.default_rng(0)
+    deltas = {
+        "a": jnp.asarray(rng.normal(0, 0.5, (C, 64, 33)), jnp.float32),
+        "b": jnp.asarray(rng.normal(0, 0.5, (C, 17)), jnp.float32),
+    }
+    keys = prng.client_round_keys(prng.root_key(0), jnp.asarray(3), C)
+
+    noisy_u, sens_u, sig_u = dp_noise_client_deltas(
+        deltas, keys, 1.0, 1e-5, 1.0, use_pallas=True, interpret=True)
+    noisy_s, sens_s, sig_s = dp_noise_client_deltas(
+        deltas, keys, 1.0, 1e-5, 1.0, use_pallas=True, interpret=True,
+        mesh=mesh8)
+
+    np.testing.assert_allclose(np.asarray(sens_s), np.asarray(sens_u),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(sig_s), np.asarray(sig_u),
+                               rtol=1e-6)
+    for k in deltas:
+        np.testing.assert_allclose(np.asarray(noisy_s[k]),
+                                   np.asarray(noisy_u[k]),
+                                   rtol=1e-5, atol=1e-6)

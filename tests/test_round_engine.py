@@ -152,3 +152,40 @@ def test_weight_roundtrip_through_engine(mnist):
     w2 = eng.get_model_weights()
     for k in w:
         np.testing.assert_array_equal(w_np[k], np.asarray(w2[k]))
+
+
+def test_server_optimizer_identity_and_adaptive(mnist):
+    """Server optimizers (fl_tpu.fl.server_optimizer): fedavgm with lr=1,
+    momentum=0 is EXACTLY plain FedAvg (sgd on the pseudo-gradient
+    x - avg(x) steps to avg(x)); fedadam produces a different, finite,
+    learning trajectory; the fused path refuses (host-side state)."""
+    import pytest as _pytest
+
+    plain = make_engine(mnist, num_clients=2, samples_per_client=64, seed=9)
+    ident = make_engine(mnist, num_clients=2, samples_per_client=64, seed=9,
+                        server_optimizer="fedavgm", server_lr=1.0,
+                        server_momentum=0.0)
+    adam = make_engine(mnist, num_clients=2, samples_per_client=64, seed=9,
+                       server_optimizer="fedadam", server_lr=0.1)
+
+    mask = np.ones(2, np.float32)
+    r_p = plain.run_round(mask=mask, evaluate=False)
+    r_i = ident.run_round(mask=mask, evaluate=False)
+    r_a = adam.run_round(mask=mask, evaluate=False)
+    assert r_p.train_loss == pytest.approx(r_i.train_loss)
+    w_p, w_i, w_a = (e.get_model_weights() for e in (plain, ident, adam))
+    for k in w_p:
+        np.testing.assert_allclose(np.asarray(w_i[k]), np.asarray(w_p[k]),
+                                   rtol=1e-6, atol=1e-7)
+    # fedadam moved the model somewhere else (but finite)
+    moved = any(not np.allclose(np.asarray(w_a[k]), np.asarray(w_p[k]))
+                for k in w_p)
+    assert moved
+    assert all(np.isfinite(np.asarray(v)).all() for v in w_a.values())
+    assert np.isfinite(r_a.train_loss)
+    # momentum state persists round over round
+    adam.run_round(mask=mask, evaluate=False)
+    assert adam.server_opt_state is not None
+
+    with _pytest.raises(ValueError, match="server optimizer"):
+        adam.run_rounds_fused(2)
