@@ -140,9 +140,9 @@ def main() -> None:
     compile_s = time.perf_counter() - t0
     print(f"warmup (incl. compile): {compile_s:.1f}s", file=sys.stderr)
 
-    # sequential dispatch measures slightly faster than the fused
-    # lax.scan at this round granularity (~1 s/round); run_rounds_fused
-    # exists for dispatch-bound scales (docs/performance.md)
+    # sequential dispatch measures ~2x faster than the fused lax.scan at
+    # this round granularity (828 vs 1687 ms/round — docs/performance.md);
+    # run_rounds_fused exists for dispatch-bound (tiny-round) scales
     t0 = time.perf_counter()
     for _ in range(args.rounds):
         engine.run_round(evaluate=False)

@@ -57,6 +57,9 @@ class ClientService:
                 "algorithm", "zlib"),
             num_clients=int(data_cfg.get("num_clients", 100)),
             partition_strategy=data_cfg.get("partition_strategy", "non_iid"),
+            tls_root_cert_path=client_cfg.get("tls_root_cert"),
+            tls_cert_path=client_cfg.get("tls_cert"),
+            tls_key_path=client_cfg.get("tls_key"),
         )
         logger.info("client %s starting against %s:%s", client_id,
                     client_cfg.get("coordinator_host", "localhost"),

@@ -81,6 +81,9 @@ class CoordinatorService:
             servicer,
             host=server_cfg.get("host", "0.0.0.0"),
             port=int(server_cfg.get("grpc_port", 50051)),
+            tls_cert_path=server_cfg.get("tls_cert"),
+            tls_key_path=server_cfg.get("tls_key"),
+            tls_client_ca_path=server_cfg.get("tls_client_ca"),
         )
         self.grpc_server.start()
 

@@ -90,6 +90,9 @@ class FederatedTrainer:
         samples_override: Optional[int] = None,
         n_train_synth: int = 20_000,
         n_test_synth: int = 4_000,
+        tls_root_cert_path: Optional[str] = None,
+        tls_cert_path: Optional[str] = None,
+        tls_key_path: Optional[str] = None,
     ):
         self.client_id = client_id
         self.dataset = dataset
@@ -119,7 +122,9 @@ class FederatedTrainer:
         self.max_rounds = max_rounds
 
         self.client = FederatedLearningClient(
-            host=coordinator_host, port=coordinator_port, client_id=client_id
+            host=coordinator_host, port=coordinator_port, client_id=client_id,
+            tls_root_cert_path=tls_root_cert_path,
+            tls_cert_path=tls_cert_path, tls_key_path=tls_key_path,
         )
         self.connection = ClientConnectionManager(self.client)
 

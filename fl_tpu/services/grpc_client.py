@@ -47,7 +47,14 @@ class FederatedLearningClient:
         base_backoff_s: float = 0.5,
         timeout_s: float = 30.0,
         converter: Optional[ProtobufConverter] = None,
+        tls_root_cert_path: Optional[str] = None,
+        tls_cert_path: Optional[str] = None,
+        tls_key_path: Optional[str] = None,
     ):
+        """``tls_root_cert_path`` switches to a TLS channel (the reference
+        uses insecure channels only — grpc_client.py:94); adding
+        ``tls_cert_path``/``tls_key_path`` presents a client certificate
+        (mTLS against a coordinator that requires client auth)."""
         self.host = host
         self.port = port
         self.client_id = client_id
@@ -55,6 +62,9 @@ class FederatedLearningClient:
         self.base_backoff_s = base_backoff_s
         self.timeout_s = timeout_s
         self.converter = converter or ProtobufConverter()
+        self.tls_root_cert_path = tls_root_cert_path
+        self.tls_cert_path = tls_cert_path
+        self.tls_key_path = tls_key_path
         self._channel = None
         self._stubs: Dict[str, Any] = {}
 
@@ -62,9 +72,25 @@ class FederatedLearningClient:
     def connect(self) -> None:
         import grpc
 
-        self._channel = grpc.insecure_channel(
-            f"{self.host}:{self.port}", options=GRPC_OPTIONS
-        )
+        address = f"{self.host}:{self.port}"
+        if self.tls_root_cert_path:
+            with open(self.tls_root_cert_path, "rb") as f:
+                root = f.read()
+            key = cert = None
+            if self.tls_cert_path and self.tls_key_path:
+                with open(self.tls_key_path, "rb") as f:
+                    key = f.read()
+                with open(self.tls_cert_path, "rb") as f:
+                    cert = f.read()
+            creds = grpc.ssl_channel_credentials(
+                root_certificates=root, private_key=key,
+                certificate_chain=cert,
+            )
+            self._channel = grpc.secure_channel(address, creds,
+                                                options=GRPC_OPTIONS)
+        else:
+            self._channel = grpc.insecure_channel(address,
+                                                  options=GRPC_OPTIONS)
         self._stubs = make_stub(self._channel)
 
     def close(self) -> None:

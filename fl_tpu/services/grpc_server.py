@@ -387,11 +387,20 @@ class CoordinatorGRPCServer:
 
     def __init__(self, servicer: Optional[FederatedLearningServicer] = None,
                  host: str = "0.0.0.0", port: int = 50051,
-                 max_workers: int = 10):
+                 max_workers: int = 10,
+                 tls_cert_path: Optional[str] = None,
+                 tls_key_path: Optional[str] = None,
+                 tls_client_ca_path: Optional[str] = None):
+        """``tls_cert_path``/``tls_key_path`` enable TLS (the reference
+        serves insecure channels only — grpc_server.py:547); adding
+        ``tls_client_ca_path`` requires client certificates (mTLS)."""
         self.servicer = servicer or FederatedLearningServicer()
         self.host = host
         self.port = port
         self.max_workers = max_workers
+        self.tls_cert_path = tls_cert_path
+        self.tls_key_path = tls_key_path
+        self.tls_client_ca_path = tls_client_ca_path
         self._server = None
 
     def start(self) -> int:
@@ -404,12 +413,30 @@ class CoordinatorGRPCServer:
         self._server.add_generic_rpc_handlers(
             (make_service_handler(self.servicer),)
         )
-        bound = self._server.add_insecure_port(f"{self.host}:{self.port}")
+        address = f"{self.host}:{self.port}"
+        if self.tls_cert_path and self.tls_key_path:
+            with open(self.tls_key_path, "rb") as f:
+                key = f.read()
+            with open(self.tls_cert_path, "rb") as f:
+                cert = f.read()
+            root = None
+            if self.tls_client_ca_path:
+                with open(self.tls_client_ca_path, "rb") as f:
+                    root = f.read()
+            creds = grpc.ssl_server_credentials(
+                [(key, cert)], root_certificates=root,
+                require_client_auth=root is not None,
+            )
+            bound = self._server.add_secure_port(address, creds)
+        else:
+            bound = self._server.add_insecure_port(address)
         if bound == 0:
-            raise RuntimeError(f"could not bind {self.host}:{self.port}")
+            raise RuntimeError(f"could not bind {address}")
         self.port = bound
         self._server.start()
-        logger.info("coordinator gRPC serving on %s:%d", self.host, self.port)
+        logger.info("coordinator gRPC serving on %s:%d%s", self.host,
+                    self.port,
+                    " (TLS)" if self.tls_cert_path else "")
         return bound
 
     def stop(self, grace: float = 2.0) -> None:

@@ -229,3 +229,63 @@ def test_coordinator_persists_and_resumes(tmp_path):
     # DB rows exist for the round and the model
     row = store2.repository.get_round(rnd)
     assert row is not None and row["status"] == "completed"
+
+
+def test_tls_loopback_round_trip(tmp_path):
+    """TLS-enabled coordinator <-> TLS client over localhost with a
+    self-signed cert (the reference serves insecure channels only); an
+    insecure client against the TLS server must fail to connect."""
+    import datetime
+
+    from cryptography import x509
+    from cryptography.hazmat.primitives import hashes, serialization
+    from cryptography.hazmat.primitives.asymmetric import rsa
+    from cryptography.x509.oid import NameOID
+
+    key = rsa.generate_private_key(public_exponent=65537, key_size=2048)
+    name = x509.Name([x509.NameAttribute(NameOID.COMMON_NAME, "localhost")])
+    now = datetime.datetime.now(datetime.timezone.utc)
+    cert = (
+        x509.CertificateBuilder()
+        .subject_name(name).issuer_name(name)
+        .public_key(key.public_key())
+        .serial_number(x509.random_serial_number())
+        .not_valid_before(now - datetime.timedelta(minutes=5))
+        .not_valid_after(now + datetime.timedelta(days=1))
+        .add_extension(
+            x509.SubjectAlternativeName([x509.DNSName("localhost")]),
+            critical=False)
+        .sign(key, hashes.SHA256())
+    )
+    cert_path = tmp_path / "server.crt"
+    key_path = tmp_path / "server.key"
+    cert_path.write_bytes(cert.public_bytes(serialization.Encoding.PEM))
+    key_path.write_bytes(key.private_bytes(
+        serialization.Encoding.PEM,
+        serialization.PrivateFormat.TraditionalOpenSSL,
+        serialization.NoEncryption()))
+
+    servicer = FederatedLearningServicer(
+        round_config=RoundConfig(min_clients=1, local_epochs=1))
+    srv = CoordinatorGRPCServer(servicer, host="localhost", port=0,
+                                tls_cert_path=str(cert_path),
+                                tls_key_path=str(key_path))
+    port = srv.start()
+    try:
+        with FederatedLearningClient(
+            host="localhost", port=port, client_id="tls_c",
+            tls_root_cert_path=str(cert_path), timeout_s=10.0,
+        ) as c:
+            info = c.register(CAPS)
+            assert info["client_id"] == "tls_c"
+            assert c.health_check()
+
+        # plaintext client against the TLS port: the RPC must fail
+        with pytest.raises(GRPCClientError):
+            with FederatedLearningClient(host="localhost", port=port,
+                                         client_id="plain",
+                                         max_retries=1,
+                                         timeout_s=3.0) as bad:
+                bad.register(CAPS)
+    finally:
+        srv.stop()
