@@ -352,6 +352,9 @@ def make_ghost_dp_sgd_grad_fn(
 
         # pass 1b: per-example layer-output grads via zero perturbations
         def preact_shape(name, kind):
+            if kind == "groupnorm":
+                # instrumented at its OUTPUT; capture already has its shape
+                return caps[name].shape
             out_features = params[name]["kernel"].shape[-1]
             if kind == "conv3x3":
                 return caps[name].shape[:-1] + (out_features,)
@@ -398,6 +401,18 @@ def make_ghost_dp_sgd_grad_fn(
                     sq += sqs.reshape(batch)
                 else:
                     sq += conv_sq(a, dy)
+            elif kind == "groupnorm":
+                # a = the GN OUTPUT y = x̂·scale + bias; recover x̂ by
+                # affine inversion, then per-example grads are spatial
+                # reductions: g_scale_i = Σ_s dy·x̂, g_bias_i = Σ_s dy
+                scale = params[name]["scale"].astype(jnp.float32)
+                bias = params[name]["bias"].astype(jnp.float32)
+                x_hat = (a - bias) / scale
+                axes = tuple(range(1, a.ndim - 1))  # spatial dims
+                g_scale = jnp.sum(dy * x_hat, axis=axes)   # (B, C)
+                g_bias = jnp.sum(dy, axis=axes)            # (B, C)
+                sq += jnp.sum(g_scale * g_scale, axis=1)
+                sq += jnp.sum(g_bias * g_bias, axis=1)
             else:  # pragma: no cover
                 raise ValueError(f"unknown DP layer kind: {kind}")
         norms = jnp.sqrt(sq)
@@ -429,8 +444,10 @@ def make_ghost_dp_sgd_grad_fn(
 
 def model_supports_ghost_dp(model) -> bool:
     """True when the model's module declares the ghost-norm instrumentation
-    contract (``DP_LAYERS`` + dp_capture/dp_perturb kwargs)."""
-    return hasattr(getattr(model, "module", None), "DP_LAYERS")
+    contract (``DP_LAYERS`` + dp_capture/dp_perturb kwargs). DP_LAYERS may
+    be a property returning None for configurations that are not DP-sound
+    (e.g. CIFAR10CNN with BatchNorm)."""
+    return bool(getattr(getattr(model, "module", None), "DP_LAYERS", None))
 
 
 # ---------------------------------------------------------------------------

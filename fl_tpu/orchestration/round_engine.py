@@ -206,6 +206,13 @@ class FederatedRoundEngine:
         self.global_variables: Variables = model.init(
             prng.stream_key(self._root_key, prng.Stream.INIT)
         )
+        if config.dp_mode == "dp_sgd" and "batch_stats" in self.global_variables:
+            raise ValueError(
+                "dp_sgd with BatchNorm is unsound: batch statistics couple "
+                "examples, so the per-example gradients DP-SGD clips are "
+                "ill-defined. Use a per-example normalization, e.g. "
+                "create_model('cifar10_cnn', norm='group')."
+            )
         self.history: List[RoundResult] = []
         self.detector = ConvergenceDetector()
         self._fused_rounds_fn = None

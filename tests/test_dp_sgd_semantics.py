@@ -222,3 +222,79 @@ def test_ghost_dp_sgd_matches_microbatch_impl():
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=2e-4, atol=2e-5,
                                        err_msg=str(pa))
+
+
+def test_cifar_groupnorm_ghost_matches_microbatch():
+    """CIFAR10CNN(norm='group'): ghost-norm DP-SGD (incl. the groupnorm
+    scale/bias layer kind) equals the microbatched per-example path."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fl_tpu.fl.local_training import cross_entropy_loss
+    from fl_tpu.fl.privacy import (
+        make_dp_sgd_grad_fn,
+        make_ghost_dp_sgd_grad_fn,
+        model_supports_ghost_dp,
+    )
+    from fl_tpu.models import create_model
+
+    batch_model = create_model("cifar10_cnn")
+    assert not model_supports_ghost_dp(batch_model)  # BN variant: unsound
+    model = create_model("cifar10_cnn", norm="group", dropout_rate=0.0)
+    assert model_supports_ghost_dp(model)
+    variables = model.init(jax.random.PRNGKey(0))
+    assert "batch_stats" not in variables
+    params = variables["params"]
+
+    def loss_fn(p, extra, xb, yb, dkey):
+        logits, _ = model.apply({"params": p, **extra}, xb, train=True,
+                                dropout_rng=dkey)
+        return cross_entropy_loss(logits, yb), None
+
+    C, z = 0.9, 1.3
+    micro = make_dp_sgd_grad_fn(loss_fn, C, z, microbatch_size=2)
+    ghost = make_ghost_dp_sgd_grad_fn(model, C, z)
+
+    B = 4
+    kx, ky = jax.random.split(jax.random.PRNGKey(6))
+    xb = jax.random.normal(kx, (B, 32, 32, 3), jnp.float32)
+    yb = jax.random.randint(ky, (B,), 0, 10)
+    wmask = jnp.asarray([1, 1, 0, 1], jnp.float32)
+    g_micro = micro(params, {}, xb, yb, wmask, jax.random.PRNGKey(1),
+                    jax.random.PRNGKey(2))
+    g_ghost = ghost(params, {}, xb, yb, wmask, jax.random.PRNGKey(1),
+                    jax.random.PRNGKey(2))
+    for (pa, a), (pb, b) in zip(
+        jax.tree_util.tree_leaves_with_path(g_micro),
+        jax.tree_util.tree_leaves_with_path(g_ghost),
+    ):
+        assert pa == pb
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-4, atol=3e-5, err_msg=str(pa))
+
+
+def test_dp_sgd_with_batchnorm_model_refused():
+    import pytest as _pytest
+
+    from fl_tpu.core.types import PrivacyConfig
+    from fl_tpu.data import load_dataset, make_federated_arrays
+    from fl_tpu.fl.local_training import FederatedTrainingConfig
+    from fl_tpu.models import create_model
+    from fl_tpu.orchestration import FederatedRoundEngine, RoundEngineConfig
+
+    cifar = load_dataset("cifar10", n_train_synth=64, n_test_synth=32)
+    fa = make_federated_arrays(cifar, num_clients=2, strategy="iid",
+                               samples_per_client=16, seed=0)
+    with _pytest.raises(ValueError, match="BatchNorm is unsound"):
+        FederatedRoundEngine(
+            create_model("cifar10_cnn"), fa,
+            RoundEngineConfig(
+                training=FederatedTrainingConfig(local_epochs=1,
+                                                 batch_size=8),
+                dp_mode="dp_sgd",
+                privacy=PrivacyConfig(epsilon=1.0, delta=1e-5,
+                                      max_grad_norm=1.0,
+                                      noise_multiplier=1.0),
+            ),
+        )
