@@ -101,6 +101,16 @@ class RoundEngineConfig:
     secure_aggregation: bool = False
     secure_agg_neighbors: int = 8
     secure_agg_scale: float = 1.0
+    # Byzantine-robust aggregation (fl.robust_agg): "fedavg" (default,
+    # sample-weighted mean) | "trimmed_mean" | "median" | "krum". Robust
+    # aggregators combine participant deltas UNWEIGHTED (sample counts are
+    # attacker-controlled) and are mutually exclusive with
+    # secure_aggregation (the server must see real updates to score them)
+    # and with client_dp (which owns its aggregation).
+    aggregation: str = "fedavg"
+    trim_k: int = 1       # trimmed_mean: drop k highest + k lowest per coord
+    krum_f: int = 1       # krum: tolerated Byzantine count
+    krum_m: int = 1       # multi-krum: how many lowest-score updates to avg
 
 
 @dataclasses.dataclass
@@ -157,6 +167,30 @@ class FederatedRoundEngine:
 
         self._root_key = prng.root_key(config.seed)
         self._np_rng = np.random.default_rng(config.seed + 1)
+
+        from fl_tpu.fl.robust_agg import ROBUST_AGGREGATORS
+
+        if config.aggregation not in ROBUST_AGGREGATORS:
+            raise ValueError(
+                f"aggregation={config.aggregation!r} not in "
+                f"{ROBUST_AGGREGATORS}")
+        if config.aggregation != "fedavg":
+            if config.secure_aggregation:
+                raise ValueError(
+                    "robust aggregation needs the server to see real "
+                    "updates; it cannot compose with secure_aggregation")
+            if config.dp_mode == "client_dp":
+                raise ValueError(
+                    "client_dp owns its aggregation (clipped uniform mean "
+                    "+ central noise); robust aggregation applies to the "
+                    "other dp modes")
+            min_participants = int(np.floor(
+                config.participation_rate * self.num_clients))
+            if (config.aggregation == "trimmed_mean"
+                    and min_participants - 2 * config.trim_k < 1):
+                raise ValueError(
+                    f"trimmed_mean with trim_k={config.trim_k} needs more "
+                    f"than {2 * config.trim_k} expected participants")
 
         # privacy bookkeeping (host ledger; noise itself is on-device)
         self.privacy = config.privacy
@@ -427,7 +461,15 @@ class FederatedRoundEngine:
                         ),
                         global_vars["batch_stats"],
                     )
-                if cfg.secure_aggregation:
+                if cfg.aggregation != "fedavg":
+                    from fl_tpu.fl.robust_agg import robust_combine_deltas
+
+                    new_global = robust_combine_deltas(
+                        global_vars, agg_src, mask, cfg.aggregation,
+                        trim_k=cfg.trim_k, krum_f=cfg.krum_f,
+                        krum_m=cfg.krum_m,
+                    )
+                elif cfg.secure_aggregation:
                     from fl_tpu.fl.secure_agg import secure_fedavg_delta
 
                     new_global = secure_fedavg_delta(
