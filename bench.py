@@ -159,7 +159,8 @@ def main() -> None:
 
     suffix = f"mesh{args.mesh}" if args.mesh else "v5e1"
     print(json.dumps({
-        "metric": f"dp_fedavg_rounds_per_sec_512clients_mnist_{suffix}",
+        "metric": (f"dp_fedavg_rounds_per_sec_{NUM_CLIENTS}clients_"
+                   f"mnist_{suffix}"),
         "value": round(rounds_per_sec, 3),
         "unit": "rounds/sec",
         "vs_baseline": round(rounds_per_sec / TARGET_ROUNDS_PER_SEC, 4),

@@ -353,15 +353,16 @@ def make_ghost_dp_sgd_grad_fn(
         # pass 1b: per-example layer-output grads via zero perturbations
         def preact_shape(name, kind):
             if kind == "groupnorm":
-                # instrumented at its OUTPUT; capture already has its shape
+                # output shape == the captured input's shape
                 return caps[name].shape
             out_features = params[name]["kernel"].shape[-1]
             if kind == "conv3x3":
                 return caps[name].shape[:-1] + (out_features,)
             return (batch, out_features)
 
+        entries = [(e[0], e[1], e[2] if len(e) > 2 else {}) for e in layers]
         zeros = {name: jnp.zeros(preact_shape(name, kind), jnp.float32)
-                 for name, kind in layers}
+                 for name, kind, _ in entries}
 
         def summed_loss_of_perturb(perturb):
             logits, _ = module.apply(variables, xb, train=True, rngs=rngs,
@@ -380,7 +381,7 @@ def make_ghost_dp_sgd_grad_fn(
             return jnp.sum(g * g, axis=(1, 2)) + jnp.sum(bg * bg, axis=1)
 
         sq = jnp.zeros((batch,), jnp.float32)
-        for name, kind in layers:
+        for name, kind, meta in entries:
             a = caps[name].astype(jnp.float32)
             dy = dys[name].astype(jnp.float32)
             if kind == "dense":
@@ -402,12 +403,20 @@ def make_ghost_dp_sgd_grad_fn(
                 else:
                     sq += conv_sq(a, dy)
             elif kind == "groupnorm":
-                # a = the GN OUTPUT y = x̂·scale + bias; recover x̂ by
-                # affine inversion, then per-example grads are spatial
-                # reductions: g_scale_i = Σ_s dy·x̂, g_bias_i = Σ_s dy
-                scale = params[name]["scale"].astype(jnp.float32)
-                bias = params[name]["bias"].astype(jnp.float32)
-                x_hat = (a - bias) / scale
+                # a = the GN INPUT; recompute x̂ with the layer's group
+                # statistics (NOT by inverting the affine output, which
+                # divides by the learned scale — inf/NaN at scale→0).
+                # Per-example grads are then spatial reductions:
+                # g_scale_i = Σ_s dy·x̂, g_bias_i = Σ_s dy
+                groups = int(meta["groups"])
+                eps = float(meta.get("eps", 1e-6))
+                C_ch = a.shape[-1]
+                grouped = a.reshape(a.shape[:-1] + (groups, C_ch // groups))
+                red = tuple(range(1, grouped.ndim - 2)) + (grouped.ndim - 1,)
+                mu = jnp.mean(grouped, axis=red, keepdims=True)
+                var = jnp.mean(jnp.square(grouped - mu), axis=red,
+                               keepdims=True)
+                x_hat = ((grouped - mu) / jnp.sqrt(var + eps)).reshape(a.shape)
                 axes = tuple(range(1, a.ndim - 1))  # spatial dims
                 g_scale = jnp.sum(dy * x_hat, axis=axes)   # (B, C)
                 g_bias = jnp.sum(dy, axis=axes)            # (B, C)

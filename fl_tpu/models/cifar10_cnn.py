@@ -38,15 +38,21 @@ class CIFAR10CNN(nn.Module):
     group_norm_groups: int = 8
 
     @property
-    def DP_LAYERS(self) -> Optional[Tuple[Tuple[str, str], ...]]:
+    def DP_LAYERS(self) -> Optional[Tuple[Tuple, ...]]:
         """Ghost-norm instrumentation map — only the GroupNorm variant is
-        DP-sound (BatchNorm couples examples)."""
+        DP-sound (BatchNorm couples examples). GroupNorm entries carry the
+        normalization geometry so the ghost engine can recompute x̂ from
+        the captured layer INPUT (inverting the affine output would divide
+        by the learned scale — inf/NaN when a channel's scale hits 0)."""
         if self.norm != "group":
             return None
+        widths = {1: 32, 2: 32, 3: 64, 4: 64, 5: 128, 6: 128}
         layers = []
         for i in range(1, 7):
             layers.append((f"conv{i}", "conv3x3"))
-            layers.append((f"gn{i}", "groupnorm"))
+            layers.append((f"gn{i}", "groupnorm",
+                           {"groups": min(self.group_norm_groups, widths[i]),
+                            "eps": 1e-6}))
         layers += [("fc1", "dense"), ("fc2", "dense"), ("fc3", "dense")]
         return tuple(layers)
 
@@ -75,13 +81,13 @@ class CIFAR10CNN(nn.Module):
             if self.norm == "batch":
                 return nn.BatchNorm(use_running_average=use_ra,
                                     dtype=self.dtype, name=f"bn{idx}")(x)
+            # ghost instrumentation: capture the INPUT (x̂ is recomputed
+            # from it with the group statistics), perturb the output
+            x = tap(f"gn{idx}", x)
             y = nn.GroupNorm(
                 num_groups=min(self.group_norm_groups, x.shape[-1]),
                 dtype=self.dtype, name=f"gn{idx}")(x)
-            # ghost instrumentation: the OUTPUT carries enough to derive
-            # per-example scale/bias grads given its cotangent
-            y = pert(f"gn{idx}", y)
-            return tap(f"gn{idx}", y)
+            return pert(f"gn{idx}", y)
 
         def conv_norm_relu(x, features, idx):
             x = tap(f"conv{idx}", x)

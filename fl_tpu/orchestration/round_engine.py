@@ -262,8 +262,12 @@ class FederatedRoundEngine:
     def epochs_per_client(self) -> np.ndarray:
         """Per-client epoch budgets (capability adaptation). Assigning an
         array with heterogeneous budgets rebuilds the superstep with masked
-        per-step selects; a flat array rebuilds the cheaper static path."""
-        return self._epochs_per_client
+        per-step selects; a flat array rebuilds the cheaper static path.
+        Returns a read-only view: in-place writes would bypass both the
+        validation and the pipeline rebuild — assign a whole array."""
+        view = self._epochs_per_client.view()
+        view.flags.writeable = False
+        return view
 
     @epochs_per_client.setter
     def epochs_per_client(self, value) -> None:
@@ -585,6 +589,20 @@ class FederatedRoundEngine:
         t0 = time.perf_counter()
         if mask is None:
             mask = self.sample_participation()
+        # robust aggregators need enough REALIZED participants (config-time
+        # checks only cover the expected count)
+        if cfg.aggregation == "trimmed_mean":
+            m = int(np.sum(np.asarray(mask) > 0))
+            if m - 2 * cfg.trim_k < 1:
+                raise ValueError(
+                    f"trimmed_mean(trim_k={cfg.trim_k}) needs more than "
+                    f"{2 * cfg.trim_k} participants; this round realized {m}")
+        elif cfg.aggregation == "krum":
+            m = int(np.sum(np.asarray(mask) > 0))
+            if m < cfg.krum_f + 3:
+                raise ValueError(
+                    f"krum(f={cfg.krum_f}) needs at least f+3="
+                    f"{cfg.krum_f + 3} participants; this round realized {m}")
         eps_spent = 0.0
         if (cfg.dp_mode in ("dp_sgd", "client_dp")
                 and self.rdp_accountant is not None):

@@ -268,9 +268,10 @@ class FederatedLearningSimulation:
                     break
                 if servicer.global_model is not None:
                     gm = servicer.global_model
-                    acc = (gm.get_accuracy()
-                           or gm.get_accuracy("train") or 0.0)
-                    if acc >= cfg.target_accuracy:
+                    acc = gm.get_accuracy()
+                    if acc is None:
+                        acc = gm.get_accuracy("train")
+                    if acc is not None and acc >= cfg.target_accuracy:
                         reason = "target_accuracy_reached"
                         break
                 time.sleep(0.5)
@@ -290,9 +291,11 @@ class FederatedLearningSimulation:
                 "stop_reason": reason,
                 "rounds_completed": servicer.current_round,
                 "final_accuracy": (
-                    (servicer.global_model.get_accuracy()
-                     or servicer.global_model.get_accuracy("train"))
-                    if servicer.global_model else None),
+                    servicer.global_model.get_accuracy()
+                    if servicer.global_model is not None
+                    and servicer.global_model.get_accuracy() is not None
+                    else servicer.global_model.get_accuracy("train")
+                    if servicer.global_model is not None else None),
                 "client_results": {c.client_id: c.get_status()
                                    for c in clients},
             }

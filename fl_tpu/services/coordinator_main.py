@@ -47,19 +47,25 @@ class CoordinatorService:
         training_cfg = cfg.get("training", {})
 
         # optional persistence (ref: main.py:107-110, plus the restart
-        # resume the reference designed but never wired): configure either
-        # storage.model_dir (weights + sqlite there) or storage.database_url
+        # resume the reference designed but never wired):
+        # storage.model_dir enables full weight persistence + restart
+        # resume; storage.database_url alone keeps the reference's
+        # metadata-only DB behavior (no weights written to disk)
         storage_cfg = cfg.get("storage", {})
         db_url = storage_cfg.get("database_url")
         model_dir = storage_cfg.get("model_dir")
         persistence = None
-        if model_dir or db_url:
+        if model_dir:
             from fl_tpu.services.persistence import CoordinatorPersistence
 
-            persistence = CoordinatorPersistence(
-                model_dir or "coordinator_models", database_url=db_url,
-            )
+            persistence = CoordinatorPersistence(model_dir,
+                                                 database_url=db_url)
             self.database = persistence.repository.db
+        elif db_url:
+            from fl_tpu.services.database import create_database_manager
+
+            self.database = create_database_manager(db_url)
+            self.database.create_tables()
 
         self.round_manager = RoundManager(
             round_config=round_config,

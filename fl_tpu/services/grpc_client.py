@@ -62,6 +62,14 @@ class FederatedLearningClient:
         self.base_backoff_s = base_backoff_s
         self.timeout_s = timeout_s
         self.converter = converter or ProtobufConverter()
+        if (tls_cert_path or tls_key_path) and not tls_root_cert_path:
+            raise ValueError(
+                "partial TLS config: a client certificate needs "
+                "tls_root_cert_path too — refusing to silently connect "
+                "insecurely")
+        if bool(tls_cert_path) != bool(tls_key_path):
+            raise ValueError("tls_cert_path and tls_key_path must both be "
+                             "set (or both unset)")
         self.tls_root_cert_path = tls_root_cert_path
         self.tls_cert_path = tls_cert_path
         self.tls_key_path = tls_key_path

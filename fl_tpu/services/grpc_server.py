@@ -327,7 +327,12 @@ class FederatedLearningServicer:
             )
             new_model.convergence_score = score
             if prev_model is not None:
-                new_model.accuracy_metrics.update(prev_model.accuracy_metrics)
+                # carry forward only metrics this aggregation did NOT
+                # produce (e.g. an externally-set test_accuracy) — copying
+                # all of prev's metrics would freeze train_accuracy at its
+                # round-1 value forever
+                for k, v in prev_model.accuracy_metrics.items():
+                    new_model.accuracy_metrics.setdefault(k, v)
             avg_loss = float(np.mean([u.training_loss for u in updates]))
             self.detector.update(RoundObservation(
                 round_number=round_number,
@@ -398,6 +403,14 @@ class CoordinatorGRPCServer:
         self.host = host
         self.port = port
         self.max_workers = max_workers
+        if bool(tls_cert_path) != bool(tls_key_path):
+            raise ValueError(
+                "partial TLS config: tls_cert_path and tls_key_path must "
+                "both be set (or both unset) — refusing to silently serve "
+                "an insecure port")
+        if tls_client_ca_path and not tls_cert_path:
+            raise ValueError("tls_client_ca_path requires tls_cert_path + "
+                             "tls_key_path")
         self.tls_cert_path = tls_cert_path
         self.tls_key_path = tls_key_path
         self.tls_client_ca_path = tls_client_ca_path

@@ -72,12 +72,15 @@ class CoordinatorPersistence:
             accuracy_metrics=dict(model.accuracy_metrics),
             convergence_score=model.convergence_score,
         )
+        acc = model.get_accuracy()
+        if acc is None:
+            acc = model.get_accuracy("train")
         self.repository.save_round(
             model.round_number, status="completed",
             completed_at=time.time(),
             participating_clients=len(model.participating_clients),
             avg_training_loss=train_loss,
-            global_accuracy=model.get_accuracy() or model.get_accuracy("train"),
+            global_accuracy=acc,
             convergence_score=model.convergence_score,
         )
         return path

@@ -21,53 +21,18 @@ measured so partial runs are still informative.
 
 import os
 import sys
-import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax
 import jax.numpy as jnp
-
-try:
-    jax.config.update("jax_compilation_cache_dir",
-                      os.environ["JAX_COMPILATION_CACHE_DIR"])
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-except Exception:
-    pass
+from _bench_util import lax_conv3x3 as lax_conv, log, timeit  # noqa: E402
 
 from fl_tpu.ops.conv import conv3x3_same
 
 C = int(os.environ.get("BENCH_C", "512"))
 B = 32
 
-
-def log(msg):
-    print(msg, flush=True)
-
-
-def timeit(fn, *args, iters=20, warmup=2):
-    t0 = time.perf_counter()
-    for _ in range(warmup):
-        out = fn(*args)
-        float(jnp.sum(out) if isinstance(out, jax.Array) else sum(
-            jnp.sum(o) for o in jax.tree.leaves(out)))
-    compile_s = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    # sync via host scalar read of the last result
-    float(jnp.sum(out) if isinstance(out, jax.Array) else sum(
-        jnp.sum(o) for o in jax.tree.leaves(out)))
-    return (time.perf_counter() - t0) / iters * 1e3, compile_s
-
-
-def lax_conv(x, w):
-    return jax.lax.conv_general_dilated(
-        x, w, window_strides=(1, 1), padding="SAME",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-    )
 
 
 def bench_shape(name, H, W, I, O, dtype=jnp.bfloat16):

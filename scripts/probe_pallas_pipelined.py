@@ -14,10 +14,8 @@ conv2 shapes: C=512 clients, B=32, 14x14, 32->64, bf16.
 
 import os
 import sys
-import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import functools
 
@@ -25,40 +23,13 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
-
-jax.config.update("jax_compilation_cache_dir",
-                  os.environ["JAX_COMPILATION_CACHE_DIR"])
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from _bench_util import lax_conv3x3 as lax_conv, log, timeit  # noqa: E402
 
 C = int(os.environ.get("BENCH_C", "512"))
 B, H, W, I, O = 32, 14, 14, 32, 64
 Hp, Wp = H + 2, W + 2  # 16x16 padded grid
 M = B * Hp * Wp        # 8192 rows/client (incl. pad rows)
 HALO = 2 * Wp + 2      # max tap offset
-
-
-def log(m):
-    print(m, flush=True)
-
-
-def timeit(fn, *args, iters=20, warmup=2):
-    t0 = time.perf_counter()
-    for _ in range(warmup):
-        out = fn(*args)
-        float(jnp.sum(out) if isinstance(out, jax.Array) else sum(
-            jnp.sum(o) for o in jax.tree.leaves(out)))
-    compile_s = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    float(jnp.sum(out) if isinstance(out, jax.Array) else sum(
-        jnp.sum(o) for o in jax.tree.leaves(out)))
-    return (time.perf_counter() - t0) / iters * 1e3, compile_s
-
-
-def lax_conv(x, w):
-    return jax.lax.conv_general_dilated(
-        x, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
 # --- 2. pure batched GEMM: (C, M, K) @ (C, K, N), grid=(C,) ---------------

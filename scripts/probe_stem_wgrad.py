@@ -12,42 +12,18 @@ bandwidth-efficient, unlike the (M, 9) layout (lane dim 9 -> 14x pad bloat).
 
 import os
 import sys
-import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax
 import jax.numpy as jnp
-
-jax.config.update("jax_compilation_cache_dir",
-                  os.environ["JAX_COMPILATION_CACHE_DIR"])
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from _bench_util import lax_conv3x3 as lax_conv, log, timeit  # noqa: E402
 
 C = int(os.environ.get("BENCH_C", "512"))
 B = 32
 H = W = 28
 I, O = 1, 32
 Hp, Wp = H + 2, W + 2  # 30x30 SAME-padded grid
-
-
-def log(m):
-    print(m, flush=True)
-
-
-def timeit(fn, *args, iters=20, warmup=2):
-    t0 = time.perf_counter()
-    for _ in range(warmup):
-        out = fn(*args)
-        float(jnp.sum(out) if isinstance(out, jax.Array) else sum(
-            jnp.sum(o) for o in jax.tree.leaves(out)))
-    compile_s = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    float(jnp.sum(out) if isinstance(out, jax.Array) else sum(
-        jnp.sum(o) for o in jax.tree.leaves(out)))
-    return (time.perf_counter() - t0) / iters * 1e3, compile_s
 
 
 def wgrad_patchT(x, dy):
@@ -65,11 +41,6 @@ def wgrad_patchT(x, dy):
     dw = jax.lax.dot_general(P, dy2, (((1,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32)
     return dw.reshape(3, 3, 1, O)
-
-
-def lax_conv(x, w):
-    return jax.lax.conv_general_dilated(
-        x, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
 def main():
