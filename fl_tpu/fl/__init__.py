@@ -38,8 +38,27 @@ from fl_tpu.fl.privacy import (  # noqa: F401
     PrivacyAccountant,
     PrivacyBudgetTracker,
     create_privacy_engine,
+    make_dp_sgd_grad_fn,
+    make_ghost_dp_sgd_grad_fn,
+    model_supports_ghost_dp,
 )
 from fl_tpu.fl.privacy_config import (  # noqa: F401
     PrivacyConfigManager,
     PrivacyLevel,
+)
+from fl_tpu.fl.robust_agg import (  # noqa: F401
+    ROBUST_AGGREGATORS,
+    krum_matrix,
+    median_matrix,
+    robust_combine_deltas,
+    trimmed_mean_matrix,
+)
+from fl_tpu.fl.secure_agg import (  # noqa: F401
+    ring_pair_masks,
+    secure_fedavg_delta,
+)
+from fl_tpu.fl.server_optimizer import (  # noqa: F401
+    SERVER_OPTIMIZERS,
+    make_server_optimizer,
+    make_server_update_fn,
 )

@@ -49,6 +49,10 @@ class FederatedTrainingConfig:
     save_checkpoints: bool = True
     momentum: float = 0.9
     weight_decay: float = 1e-4
+    # FedProx (Li et al. 2020): adds (μ/2)·‖w − w_global‖² to every local
+    # step's loss, pulling heterogeneous clients toward the round's global
+    # model. 0.0 = plain FedAvg local training.
+    proximal_mu: float = 0.0
 
     def to_dict(self) -> Dict[str, Any]:
         return dataclasses.asdict(self)
@@ -168,8 +172,11 @@ def make_local_train_fn(
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
+    mu = float(cfg.proximal_mu)
+
     def local_train(variables, images_u8, labels, n_valid, epochs, rng):
         params = variables["params"]
+        global_params = params  # round-start global model (FedProx anchor)
         extra0 = {k: v for k, v in variables.items() if k != "params"}
         opt_state = optimizer.init(params)
         shuffle_key = prng.stream_key(rng, prng.Stream.SHUFFLE)
@@ -230,6 +237,14 @@ def make_local_train_fn(
                             epoch_idx * steps_per_epoch + step_idx,
                         ),
                     )
+                if mu > 0.0:
+                    # FedProx proximal gradient μ·(w − w_global): exactly
+                    # the gradient of (μ/2)·‖w − w_global‖². Data-
+                    # independent, so in DP mode adding it after the
+                    # clipped+noised gradient does not change sensitivity.
+                    grads = jax.tree.map(
+                        lambda g, p, gp: g + mu * (p - gp),
+                        grads, params, global_params)
                 updates, new_opt = optimizer.update(grads, opt_state, params)
                 new_params = optax.apply_updates(params, updates)
                 if homogeneous_epochs:

@@ -756,6 +756,7 @@ class FederatedRoundEngine:
         num_rounds: int,
         masks: Optional[np.ndarray] = None,
         evaluate: bool = True,
+        evaluate_every: Optional[int] = None,
     ) -> List[RoundResult]:
         """Run ``num_rounds`` FedAvg rounds as ONE compiled ``lax.scan`` —
         zero host round trips between rounds.
@@ -780,6 +781,16 @@ class FederatedRoundEngine:
                               for _ in range(num_rounds)])
         masks = np.asarray(masks, np.float32)
         assert masks.shape == (num_rounds, self.num_clients)
+
+        if evaluate_every is not None and evaluate_every < num_rounds:
+            # chunked: one fused scan per chunk, test-set eval between
+            # chunks (the fully-fused scan can only evaluate at the end)
+            results: List[RoundResult] = []
+            for start in range(0, num_rounds, evaluate_every):
+                chunk = masks[start:start + evaluate_every]
+                results.extend(self.run_rounds_fused(
+                    len(chunk), masks=chunk, evaluate=evaluate))
+            return results
 
         # budget: all R rounds up front
         eps_r = del_r = 0.0

@@ -68,6 +68,7 @@ class SimulationConfig:
     local_epochs: int = 5
     batch_size: int = 32
     learning_rate: float = 0.001
+    proximal_mu: float = 0.0  # FedProx (0.0 = plain FedAvg local training)
     privacy_epsilon: Optional[float] = 1.0
     privacy_delta: float = 1e-5
     max_grad_norm: float = 1.0
@@ -129,6 +130,7 @@ class FederatedLearningSimulation:
             training=FederatedTrainingConfig(
                 local_epochs=cfg.local_epochs, batch_size=cfg.batch_size,
                 learning_rate=cfg.learning_rate,
+                proximal_mu=cfg.proximal_mu,
             ),
             dp_mode=cfg.dp_mode if privacy else "none",
             privacy=privacy,

@@ -152,11 +152,15 @@ def test_metrics_collector_round_flow():
 
 def test_metrics_eta_estimation():
     c = MetricsCollector()
+    t0 = time.time()
     for r in range(6):
         c.start_round(r)
         c.complete_round(r, 1.0 - 0.1 * r, 0.5 + 0.05 * r, 0.1)
     eta = c.get_training_progress()["estimated_completion"]
-    assert eta is None or eta > time.time()
+    # rounds here complete in ~0s, so the ETA can land within rounding of
+    # "now" — assert it's sane, not strictly in the future (flaky under
+    # machine load otherwise)
+    assert eta is None or eta >= t0
 
 
 def test_metrics_system_sample_and_export(tmp_path):

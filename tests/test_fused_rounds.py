@@ -66,3 +66,29 @@ def test_fused_then_sequential_continues(mnist):
     r = eng.run_round(evaluate=False)
     assert r.round_number == 2
     assert len(eng.history) == 3
+
+
+def test_fused_rounds_evaluate_every_chunks(engine_with_eval=None):
+    """evaluate_every=k: test accuracy appears every k rounds, results are
+    continuous across chunks."""
+    import numpy as np
+
+    from fl_tpu.data import load_dataset, make_federated_arrays
+    from fl_tpu.fl.local_training import FederatedTrainingConfig
+    from fl_tpu.models import create_model
+    from fl_tpu.orchestration import FederatedRoundEngine, RoundEngineConfig
+
+    mnist = load_dataset("mnist", n_train_synth=256, n_test_synth=64)
+    fa = make_federated_arrays(mnist, num_clients=2, strategy="iid",
+                               samples_per_client=32, seed=0)
+    eng = FederatedRoundEngine(
+        create_model("simple_cnn"), fa,
+        RoundEngineConfig(
+            training=FederatedTrainingConfig(local_epochs=1, batch_size=8),
+            seed=2, max_clients=2),
+        test_images=mnist.normalized(mnist.test_images),
+        test_labels=mnist.test_labels)
+    results = eng.run_rounds_fused(4, evaluate_every=2)
+    assert [r.round_number for r in results] == [0, 1, 2, 3]
+    evals = [r.test_accuracy is not None for r in results]
+    assert evals == [False, True, False, True]
