@@ -226,3 +226,32 @@ def test_pallas_dp_kernel_under_mesh_shard_map(mesh8):
         np.testing.assert_allclose(np.asarray(noisy_s[k]),
                                    np.asarray(noisy_u[k]),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_robust_and_server_opt_on_mesh_match_single_device(mnist, mesh8):
+    """Round-2 aggregation options under the mesh: a median-aggregated,
+    FedAvgM-server-stepped round over 8 devices equals the single-device
+    result (sort over the sharded client axis lowers to collectives; the
+    server step runs on replicated params)."""
+    def build(mesh):
+        model = create_model("simple_cnn")
+        fa = make_federated_arrays(mnist, num_clients=16, strategy="iid",
+                                   samples_per_client=16, seed=0)
+        cfg = RoundEngineConfig(
+            training=FederatedTrainingConfig(local_epochs=1, batch_size=8),
+            seed=7, max_clients=16, aggregation="median",
+            server_optimizer="fedavgm", server_lr=0.7,
+            server_momentum=0.5,
+        )
+        return FederatedRoundEngine(model, fa, cfg, mesh=mesh)
+
+    single, sharded = build(None), build(mesh8)
+    mask = np.ones(16, np.float32)
+    for _ in range(2):  # two rounds: exercises the momentum carry too
+        r1 = single.run_round(mask=mask, evaluate=False)
+        r2 = sharded.run_round(mask=mask, evaluate=False)
+    assert r1.train_loss == pytest.approx(r2.train_loss, rel=1e-5)
+    w1, w2 = single.get_model_weights(), sharded.get_model_weights()
+    for k in w1:
+        np.testing.assert_allclose(np.asarray(w2[k]), np.asarray(w1[k]),
+                                   rtol=1e-5, atol=1e-6, err_msg=k)
