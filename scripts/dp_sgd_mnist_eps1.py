@@ -5,7 +5,7 @@ Measured on a single TPU v5e chip — NOTE: on the synthetic-MNIST fallback
 in zero-egress environments, so the figure is not comparable to the
 reference's real-MNIST 91.2% until real IDX files are mounted under
 $FL_TPU_DATA_DIR (this script picks them up automatically):
-**96.9% test accuracy at RDP-accounted ε = 1.000** with
+**96.7% test accuracy at RDP-accounted ε = 1.000** with
 128 DP-SGD federated clients — per-example clipping (C=1) + Gaussian noise
 z calibrated by the moments accountant so 30 rounds × 32 steps land exactly
 on the ε budget. ~6.5 s/round with the default ghost-norm clipping

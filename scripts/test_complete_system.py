@@ -87,6 +87,49 @@ def test_performance_validation():
     assert v.run_baseline_test(num_clients=2)["passed"]
 
 
+def test_robust_aggregation():
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fl_tpu.fl.robust_agg import median_matrix, trimmed_mean_matrix
+
+    mat = jnp.asarray([[1.0], [2.0], [3.0], [1e6]], jnp.float32)
+    mask = jnp.ones(4, jnp.float32)
+    assert float(trimmed_mean_matrix(mat, mask, 1)[0]) == 2.5
+    assert float(median_matrix(mat, mask)[0]) == 2.5
+    assert np.isfinite(float(median_matrix(mat, mask)[0]))
+
+
+def test_secure_aggregation_cancellation():
+    import jax
+    import numpy as np
+
+    from fl_tpu.fl.secure_agg import ring_pair_masks
+
+    m = ring_pair_masks(jax.random.PRNGKey(0), 8, 130, neighbors=3,
+                        scale=4.0)
+    assert abs(float(np.asarray(m.sum(axis=0)).max())) < 1e-3
+    assert float(np.abs(np.asarray(m)).max()) > 1.0
+
+
+def test_server_optimizer_identity():
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fl_tpu.fl.server_optimizer import (
+        make_server_optimizer,
+        make_server_update_fn,
+    )
+
+    opt = make_server_optimizer("fedavgm", learning_rate=1.0, momentum=0.0)
+    upd = make_server_update_fn(opt)
+    params = {"w": jnp.asarray([1.0, 2.0])}
+    avg = {"w": jnp.asarray([0.5, 1.5])}
+    new, _ = upd(params, avg, opt.init(params))
+    np.testing.assert_allclose(np.asarray(new["w"]), np.asarray(avg["w"]),
+                               rtol=1e-6)
+
+
 def main() -> int:
     print("fl_tpu complete-system checks:")
     results = [
@@ -100,6 +143,10 @@ def main() -> int:
         check("proto message construction", test_proto_messages),
         check("privacy validation", test_privacy_validation),
         check("performance validation", test_performance_validation),
+        check("robust aggregation", test_robust_aggregation),
+        check("secure aggregation mask cancellation",
+              test_secure_aggregation_cancellation),
+        check("server optimizer identity", test_server_optimizer_identity),
     ]
     print(f"\n{sum(results)}/{len(results)} checks passed")
     return 0 if all(results) else 1
