@@ -126,6 +126,13 @@ def save_engine_checkpoint(engine, directory: str) -> Path:
         mgr._ckpt.save(path / "server_opt_state", engine.server_opt_state,
                        force=True)
         mgr._ckpt.wait_until_finished()
+    if engine.config.uplink_compression != "none":
+        # uplink error feedback accumulates the compression residual per
+        # client; dropping it on resume silently loses pending updates.
+        # (dict wrapper: orbax StandardCheckpointer rejects bare arrays)
+        mgr._ckpt.save(path / "uplink_error", {"ef": engine.uplink_error},
+                       force=True)
+        mgr._ckpt.wait_until_finished()
     return path
 
 
@@ -144,6 +151,10 @@ def restore_engine_checkpoint(engine, directory: str,
     if opt_dir.exists() and getattr(engine, "_server_opt", None) is not None:
         template = engine._server_opt.init(engine.global_variables["params"])
         engine.server_opt_state = mgr._ckpt.restore(opt_dir, template)
+    ef_dir = mgr._step_dir(state["round_number"]) / "uplink_error"
+    if ef_dir.exists() and engine.config.uplink_compression != "none":
+        engine.uplink_error = mgr._ckpt.restore(
+            ef_dir, {"ef": engine.uplink_error})["ef"]
     hs = state["host_state"]
     if "privacy_budget" in hs and engine.budget_tracker is not None:
         engine.budget_tracker.load_state_dict(hs["privacy_budget"])

@@ -101,6 +101,12 @@ class RoundEngineConfig:
     secure_aggregation: bool = False
     secure_agg_neighbors: int = 8
     secure_agg_scale: float = 1.0
+    # lossy uplink compression simulated inside the superstep, with error
+    # feedback carried across rounds (fl.uplink): "none" | "int8" | "topk".
+    # Models the bandwidth-limited deployment uplink on-chip; EF state is
+    # one (C, D) f32 matrix (client-sharded under a mesh).
+    uplink_compression: str = "none"
+    uplink_topk_ratio: float = 0.01  # fraction of coords kept per client
     # Byzantine-robust aggregation (fl.robust_agg): "fedavg" (default,
     # sample-weighted mean) | "trimmed_mean" | "median" | "krum". Robust
     # aggregators combine participant deltas UNWEIGHTED (sample counts are
@@ -169,7 +175,12 @@ class FederatedRoundEngine:
         self._np_rng = np.random.default_rng(config.seed + 1)
 
         from fl_tpu.fl.robust_agg import ROBUST_AGGREGATORS
+        from fl_tpu.fl.uplink import UPLINK_KINDS
 
+        if config.uplink_compression not in UPLINK_KINDS:
+            raise ValueError(
+                f"uplink_compression={config.uplink_compression!r} not in "
+                f"{UPLINK_KINDS}")
         if config.aggregation not in ROBUST_AGGREGATORS:
             raise ValueError(
                 f"aggregation={config.aggregation!r} not in "
@@ -247,6 +258,17 @@ class FederatedRoundEngine:
                 "ill-defined. Use a per-example normalization, e.g. "
                 "create_model('cifar10_cnn', norm='group')."
             )
+        # uplink error-feedback state: (C, D_pad) f32 when compression is
+        # on, a (C, 1) zero dummy otherwise (keeps the superstep arity and
+        # shardings static)
+        from fl_tpu.ops.flatten import flat_dim, padded_dim
+
+        ef_d = (padded_dim(flat_dim(self.global_variables, batched=False))
+                if config.uplink_compression != "none" else 1)
+        ef = jnp.zeros((self.num_clients, ef_d), jnp.float32)
+        if mesh is not None:
+            ef = jax.device_put(ef, self._client_sh)
+        self.uplink_error = ef
         self.history: List[RoundResult] = []
         self.detector = ConvergenceDetector()
         self._fused_rounds_fn = None
@@ -351,13 +373,14 @@ class FederatedRoundEngine:
 
         if self.mesh is not None:
             # explicit shardings: global model replicated, every
-            # client-stacked argument split over the mesh's client axis.
-            # XLA then runs local training fully parallel per shard and
-            # lowers the FedAvg reduction to an ICI all-reduce.
+            # client-stacked argument split over the mesh's client axis
+            # (incl. the uplink error-feedback matrix). XLA then runs local
+            # training fully parallel per shard and lowers the FedAvg
+            # reduction to an ICI all-reduce.
             rep, csh = self._rep_sh, self._client_sh
             self._superstep = jax.jit(
                 self._build_superstep(),
-                in_shardings=(rep, rep, csh, csh, csh, csh, csh),
+                in_shardings=(rep, rep, csh, csh, csh, csh, csh, csh),
             )
         else:
             self._superstep = jax.jit(self._build_superstep())
@@ -382,6 +405,12 @@ class FederatedRoundEngine:
         else:
             eps_r = del_r = max_norm = None
 
+        uplink_kind = cfg.uplink_compression
+        if uplink_kind != "none":
+            from fl_tpu.fl.uplink import make_uplink_fn
+
+            uplink_fn = make_uplink_fn(uplink_kind, cfg.uplink_topk_ratio)
+
         def superstep(
             global_vars: Variables,
             round_idx: jax.Array,          # scalar int32
@@ -390,6 +419,8 @@ class FederatedRoundEngine:
             images: jax.Array,
             labels: jax.Array,
             num_samples: jax.Array,
+            ef_state: jax.Array,           # (C, D) uplink error feedback
+                                           # ((C, 1) dummy when disabled)
         ):
             keys = prng.client_round_keys(self._root_key, round_idx, C)
 
@@ -416,6 +447,35 @@ class FederatedRoundEngine:
                     lambda d, g: d + g[None], noisy_deltas, global_vars
                 )
                 metrics = dict(metrics, dp_sensitivity=sens, dp_sigma=sigma)
+
+            ef_out = ef_state
+            if uplink_kind != "none":
+                # simulate the bandwidth-limited uplink: each participant
+                # transmits compress(delta + error), keeps the residual
+                # (error feedback). Reference client order preserved:
+                # train -> DP -> compress -> upload
+                # (federated_trainer.py:267-501).
+                from fl_tpu.fl.uplink import apply_uplink_with_error_feedback
+                from fl_tpu.ops.flatten import stack_flatten, stack_unflatten
+
+                up_deltas = jax.tree.map(
+                    lambda c, g: (c - g[None]).astype(jnp.float32),
+                    new_stacked, global_vars,
+                )
+                mat, up_spec = stack_flatten(up_deltas)
+                transmitted, ef_out = apply_uplink_with_error_feedback(
+                    mat, ef_state, mask, uplink_fn
+                )
+                hat = stack_unflatten(transmitted, up_spec)
+                new_stacked = jax.tree.map(
+                    lambda g, d: (g[None] + d).astype(g.dtype),
+                    global_vars, hat,
+                )
+                metrics = dict(
+                    metrics,
+                    uplink_ef_norm=jnp.sqrt(
+                        jnp.sum(ef_out * ef_out, axis=1)).mean(),
+                )
 
             if dp_mode == "client_dp":
                 # client-level DP-FedAvg: clip each participant's delta to C,
@@ -502,7 +562,9 @@ class FederatedRoundEngine:
             }
             if dp_mode in ("delta", "client_dp"):
                 out_metrics["dp_sigma_mean"] = metrics["dp_sigma"].mean()
-            return new_global, out_metrics
+            if uplink_kind != "none":
+                out_metrics["uplink_ef_norm"] = metrics["uplink_ef_norm"]
+            return new_global, ef_out, out_metrics
 
         return superstep
 
@@ -626,7 +688,7 @@ class FederatedRoundEngine:
                     "Privacy budget exhausted — cannot run another DP round"
                 )
 
-        new_global, metrics = self._superstep(
+        new_global, self.uplink_error, metrics = self._superstep(
             self.global_variables,
             jnp.asarray(self.round_number, jnp.int32),
             jnp.asarray(mask, jnp.float32),
@@ -634,6 +696,7 @@ class FederatedRoundEngine:
             self.data.images,
             self.data.labels,
             self.data.num_samples,
+            self.uplink_error,
         )
         if self._server_update is not None:
             # adaptive server step on the pseudo-gradient x_t - fedavg(x)
@@ -820,35 +883,39 @@ class FederatedRoundEngine:
             superstep = self._build_superstep()
 
             def fused(global_vars, start_round, masks_arr, epochs,
-                      images, labels, num_samples):
-                def body(gv, rm):
+                      images, labels, num_samples, ef_state):
+                def body(carry, rm):
+                    gv, ef = carry
                     round_idx, mask = rm
-                    new_gv, metrics = superstep(
+                    new_gv, new_ef, metrics = superstep(
                         gv, round_idx, mask, epochs, images, labels,
-                        num_samples,
+                        num_samples, ef,
                     )
                     keep = {k: metrics[k] for k in
                             ("train_loss", "train_accuracy",
                              "weight_change_norm", "weight_norm")}
-                    return new_gv, keep
+                    return (new_gv, new_ef), keep
 
                 rounds = start_round + jnp.arange(masks_arr.shape[0],
                                                   dtype=jnp.int32)
-                return jax.lax.scan(body, global_vars, (rounds, masks_arr))
+                return jax.lax.scan(body, (global_vars, ef_state),
+                                    (rounds, masks_arr))
 
             self._fused_rounds_fn = jax.jit(fused)
 
         t0 = time.perf_counter()
-        new_global, series = self._fused_rounds_fn(
+        (new_global, new_ef), series = self._fused_rounds_fn(
             self.global_variables,
             jnp.asarray(self.round_number, jnp.int32),
             jnp.asarray(masks),
             jnp.asarray(self.epochs_per_client),
             self.data.images, self.data.labels, self.data.num_samples,
+            self.uplink_error,
         )
         series = {k: np.asarray(v) for k, v in series.items()}  # host sync
         total_t = time.perf_counter() - t0
         self.global_variables = new_global
+        self.uplink_error = new_ef
 
         # host bookkeeping per round (metrics already on host). In RDP
         # modes each round's epsilon_spent is the *marginal* RDP->(ε,δ)

@@ -112,10 +112,11 @@ def test_client_dp_sigma_uses_fixed_expected_count(mnist):
     for n_active in (1, 4):
         mask = np.zeros(n_clients, np.float32)
         mask[:n_active] = 1.0
-        _, metrics = eng._superstep(
+        _, _, metrics = eng._superstep(
             eng.global_variables, jnp.asarray(0, jnp.int32),
             jnp.asarray(mask), jnp.asarray(eng.epochs_per_client),
             eng.data.images, eng.data.labels, eng.data.num_samples,
+            eng.uplink_error,
         )
         assert float(metrics["dp_sigma_mean"]) == pytest.approx(
             expected_sigma, rel=1e-6)

@@ -92,12 +92,13 @@ def test_delta_mode_sigma_matches_formula(mnist):
             epsilon_per_round=eps_r, delta_per_round=del_r, seed=0,
         ),
     )
-    _, metrics = eng._superstep(
+    _, _, metrics = eng._superstep(
         eng.global_variables,
         __import__("jax").numpy.int32(0),
         np.ones(2, np.float32),
         np.asarray(eng.epochs_per_client),
         eng.data.images, eng.data.labels, eng.data.num_samples,
+        eng.uplink_error,
     )
     sigma = float(metrics["dp_sigma_mean"])
     factor = math.sqrt(2 * math.log(1.25 / del_r)) / eps_r
