@@ -57,14 +57,24 @@ def topk_roundtrip_matrix(mat: jax.Array, k: int) -> jax.Array:
     return jax.vmap(lambda o, i, v: o.at[i].set(v))(out, idx, vals)
 
 
-def make_uplink_fn(kind: str, topk_keep_ratio: float = 0.01
+def make_uplink_fn(kind: str, topk_keep_ratio: float = 0.01,
+                   d_valid: int = None
                    ) -> Callable[[jax.Array], jax.Array]:
-    """Compression round-trip (C, D) -> (C, D) for the configured kind."""
+    """Compression round-trip (C, D) -> (C, D) for the configured kind.
+
+    ``d_valid``: the real (unpadded) parameter dimension — the top-k budget
+    is ``ceil(d_valid·keep_ratio)``; without it the budget would be
+    computed against the lane-padded matrix width, keeping slightly more
+    coordinates than the configured ratio.
+    """
+    if kind == "none":
+        return lambda mat: mat  # identity (no compression)
     if kind == "int8":
         return int8_roundtrip_matrix
     if kind == "topk":
         def fn(mat):
-            k = max(1, int(round(mat.shape[1] * topk_keep_ratio)))
+            d = d_valid if d_valid is not None else mat.shape[1]
+            k = max(1, int(round(d * topk_keep_ratio)))
             return topk_roundtrip_matrix(mat, k)
         return fn
     raise ValueError(f"unknown uplink compression {kind!r}; "

@@ -181,6 +181,12 @@ class FederatedRoundEngine:
             raise ValueError(
                 f"uplink_compression={config.uplink_compression!r} not in "
                 f"{UPLINK_KINDS}")
+        if config.uplink_compression != "none" and config.dp_mode == "client_dp":
+            raise ValueError(
+                "uplink compression cannot compose with client_dp: the "
+                "central clip runs after reconstruction, so clipped-off "
+                "mass would never return to the error-feedback residual "
+                "(breaking EF's nothing-lost-only-delayed guarantee)")
         if config.aggregation not in ROBUST_AGGREGATORS:
             raise ValueError(
                 f"aggregation={config.aggregation!r} not in "
@@ -406,10 +412,6 @@ class FederatedRoundEngine:
             eps_r = del_r = max_norm = None
 
         uplink_kind = cfg.uplink_compression
-        if uplink_kind != "none":
-            from fl_tpu.fl.uplink import make_uplink_fn
-
-            uplink_fn = make_uplink_fn(uplink_kind, cfg.uplink_topk_ratio)
 
         def superstep(
             global_vars: Variables,
@@ -455,14 +457,26 @@ class FederatedRoundEngine:
                 # (error feedback). Reference client order preserved:
                 # train -> DP -> compress -> upload
                 # (federated_trainer.py:267-501).
-                from fl_tpu.fl.uplink import apply_uplink_with_error_feedback
-                from fl_tpu.ops.flatten import stack_flatten, stack_unflatten
+                from fl_tpu.fl.uplink import (
+                    apply_uplink_with_error_feedback,
+                    make_uplink_fn,
+                )
+                from fl_tpu.ops.flatten import (
+                    flat_dim,
+                    stack_flatten,
+                    stack_unflatten,
+                )
 
                 up_deltas = jax.tree.map(
                     lambda c, g: (c - g[None]).astype(jnp.float32),
                     new_stacked, global_vars,
                 )
                 mat, up_spec = stack_flatten(up_deltas)
+                uplink_fn = make_uplink_fn(
+                    uplink_kind, cfg.uplink_topk_ratio,
+                    d_valid=flat_dim(up_deltas),  # top-k budget on the
+                                                  # real dim, not lane pad
+                )
                 transmitted, ef_out = apply_uplink_with_error_feedback(
                     mat, ef_state, mask, uplink_fn
                 )
@@ -845,6 +859,8 @@ class FederatedRoundEngine:
         masks = np.asarray(masks, np.float32)
         assert masks.shape == (num_rounds, self.num_clients)
 
+        if evaluate_every is not None and evaluate_every < 1:
+            raise ValueError(f"evaluate_every must be >= 1, got {evaluate_every}")
         if evaluate_every is not None and evaluate_every < num_rounds:
             # chunked: one fused scan per chunk, test-set eval between
             # chunks (the fully-fused scan can only evaluate at the end)

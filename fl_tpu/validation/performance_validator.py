@@ -137,8 +137,10 @@ class PerformanceValidator:
             latencies.append((time.perf_counter() - t0) * 1000.0)
         p50, p95 = np.percentile(latencies, [50, 95])
         throughput = num_clients / (np.mean(latencies) / 1000.0)
-        passed = (p95 <= self.req.max_latency_ms
-                  and throughput >= self.req.min_throughput_rps)
+        # bool(): p95/throughput are numpy scalars, so the comparison yields
+        # np.bool_ — which JSON-serializes as "True"/1.0 instead of true
+        passed = bool(p95 <= self.req.max_latency_ms
+                      and throughput >= self.req.min_throughput_rps)
         return {
             "test": "load", "passed": passed, "rounds": rounds,
             "latency_p50_ms": float(p50), "latency_p95_ms": float(p95),

@@ -64,7 +64,15 @@ def _download(urls, dest: Path, md5: str) -> bool:
     for url in urls:
         try:
             print(f"  {dest.name}: downloading from {url.split('/')[2]} ...")
-            urllib.request.urlretrieve(url, dest)
+            # socket timeout so a stalled mirror falls through to the next
+            # one instead of hanging forever
+            with urllib.request.urlopen(url, timeout=60) as r, \
+                    open(dest, "wb") as f:
+                while True:
+                    chunk = r.read(1 << 20)
+                    if not chunk:
+                        break
+                    f.write(chunk)
             got = _md5(dest)
             if got == md5:
                 return True
@@ -72,6 +80,7 @@ def _download(urls, dest: Path, md5: str) -> bool:
             dest.unlink(missing_ok=True)
         except Exception as e:
             print(f"    failed: {e}")
+            dest.unlink(missing_ok=True)
     return False
 
 
@@ -90,7 +99,13 @@ def fetch_cifar10(dest: Path) -> bool:
         return False
     print("  extracting cifar-10-batches-py/ ...")
     with tarfile.open(tgz) as tf:
-        tf.extractall(dest, filter="data")
+        try:
+            tf.extractall(dest, filter="data")
+        except TypeError:
+            # the `filter` kwarg only exists from 3.10.12/3.11.4/3.12;
+            # the archive's checksum was just verified, so plain
+            # extraction is acceptable on older interpreters
+            tf.extractall(dest)
     return (dest / "cifar-10-batches-py").exists()
 
 

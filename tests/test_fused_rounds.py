@@ -68,7 +68,27 @@ def test_fused_then_sequential_continues(mnist):
     assert len(eng.history) == 3
 
 
-def test_fused_rounds_evaluate_every_chunks(engine_with_eval=None):
+def test_fused_rounds_evaluate_every_validation():
+    import pytest as _pytest
+
+    from fl_tpu.data import load_dataset, make_federated_arrays
+    from fl_tpu.fl.local_training import FederatedTrainingConfig
+    from fl_tpu.models import create_model
+    from fl_tpu.orchestration import FederatedRoundEngine, RoundEngineConfig
+
+    mnist = load_dataset("mnist", n_train_synth=128, n_test_synth=32)
+    fa = make_federated_arrays(mnist, num_clients=2, strategy="iid",
+                               samples_per_client=16, seed=0)
+    eng = FederatedRoundEngine(
+        create_model("simple_cnn"), fa,
+        RoundEngineConfig(training=FederatedTrainingConfig(
+            local_epochs=1, batch_size=8)))
+    for bad in (0, -1):
+        with _pytest.raises(ValueError, match="evaluate_every"):
+            eng.run_rounds_fused(4, evaluate_every=bad)
+
+
+def test_fused_rounds_evaluate_every_chunks():
     """evaluate_every=k: test accuracy appears every k rounds, results are
     continuous across chunks."""
     import numpy as np

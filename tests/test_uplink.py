@@ -153,3 +153,35 @@ def test_uplink_config_validation():
                                                  batch_size=8),
                 uplink_compression="gzip"),
         )
+    # client_dp clips after reconstruction, which would strand clipped-off
+    # mass outside the EF residual — refused
+    from fl_tpu.core.types import PrivacyConfig
+
+    with pytest.raises(ValueError, match="client_dp"):
+        FederatedRoundEngine(
+            create_model("simple_cnn"), fa,
+            RoundEngineConfig(
+                training=FederatedTrainingConfig(local_epochs=1,
+                                                 batch_size=8),
+                dp_mode="client_dp",
+                privacy=PrivacyConfig(1.0, 1e-5, noise_multiplier=1.0),
+                uplink_compression="topk"),
+        )
+
+
+def test_make_uplink_fn_none_is_identity():
+    import jax.numpy as jnp
+
+    fn = make_uplink_fn("none")
+    mat = jnp.arange(6.0).reshape(2, 3)
+    np.testing.assert_array_equal(np.asarray(fn(mat)), np.asarray(mat))
+
+
+def test_topk_budget_uses_unpadded_dim():
+    import jax.numpy as jnp
+
+    fn = make_uplink_fn("topk", topk_keep_ratio=0.01, d_valid=10_000)
+    mat = jnp.asarray(np.random.default_rng(0).normal(0, 1, (2, 10_112)),
+                      jnp.float32)  # lane-padded width
+    out = np.asarray(fn(mat))
+    assert ((out != 0).sum(axis=1) == 100).all()  # 1% of 10000, not 10112
