@@ -78,6 +78,10 @@ class SimulationConfig:
     heterogeneous_clients: bool = True
     seed: int = 0
     backend: str = "onchip"  # "onchip" | "grpc"
+    # secure aggregation: onchip -> in-superstep pairwise masking
+    # (fl.secure_agg); grpc -> DH-keyed masked uploads over the wire
+    # (services.secagg_wire)
+    secure_aggregation: bool = False
     n_train_synth: int = 20_000
     n_test_synth: int = 4_000
     samples_per_client: Optional[int] = None
@@ -142,6 +146,7 @@ class FederatedLearningSimulation:
             straggler_dropout_rate=cfg.straggler_dropout_rate,
             max_clients=cfg.num_clients,
             seed=cfg.seed,
+            secure_aggregation=cfg.secure_aggregation,
         )
         augment = None
         if cfg.dataset == "cifar10":
@@ -232,12 +237,16 @@ class FederatedLearningSimulation:
         privacy = (PrivacyConfig(cfg.privacy_epsilon, cfg.privacy_delta,
                                  cfg.max_grad_norm)
                    if cfg.privacy_epsilon and cfg.dp_mode != "none" else None)
-        servicer = FederatedLearningServicer(round_config=RoundConfig(
-            min_clients=min(2, cfg.num_clients),
-            max_clients=cfg.num_clients,
-            local_epochs=cfg.local_epochs, batch_size=cfg.batch_size,
-            learning_rate=cfg.learning_rate, privacy_config=privacy,
-        ))
+        servicer = FederatedLearningServicer(
+            round_config=RoundConfig(
+                min_clients=(cfg.num_clients if cfg.secure_aggregation
+                             else min(2, cfg.num_clients)),
+                max_clients=cfg.num_clients,
+                local_epochs=cfg.local_epochs, batch_size=cfg.batch_size,
+                learning_rate=cfg.learning_rate, privacy_config=privacy,
+            ),
+            secure_aggregation=cfg.secure_aggregation,
+        )
         server = CoordinatorGRPCServer(servicer, host="127.0.0.1", port=0)
         port = server.start()
         clients: List[FederatedTrainer] = []
@@ -259,6 +268,7 @@ class FederatedLearningSimulation:
                     data_seed=cfg.seed,
                     n_train_synth=cfg.n_train_synth,
                     n_test_synth=cfg.n_test_synth,
+                    secure_aggregation=cfg.secure_aggregation,
                 )
                 t.initialize()
                 t.start_training()

@@ -93,6 +93,8 @@ class FederatedTrainer:
         tls_root_cert_path: Optional[str] = None,
         tls_cert_path: Optional[str] = None,
         tls_key_path: Optional[str] = None,
+        secure_aggregation: bool = False,
+        secagg_mask_scale: float = 1.0,
     ):
         self.client_id = client_id
         self.dataset = dataset
@@ -126,6 +128,16 @@ class FederatedTrainer:
             tls_root_cert_path=tls_root_cert_path,
             tls_cert_path=tls_cert_path, tls_key_path=tls_key_path,
         )
+        # secure aggregation over the wire (services/secagg_wire.py):
+        # X25519 keypair generated per trainer; pubkey rides registration
+        # metadata; uploads are sample-scaled + pairwise-masked
+        self.secure_aggregation = secure_aggregation
+        self.secagg_mask_scale = secagg_mask_scale
+        self._secagg_sk = self._secagg_pk = None
+        if secure_aggregation:
+            from fl_tpu.services.secagg_wire import generate_keypair
+
+            self._secagg_sk, self._secagg_pk = generate_keypair()
         self.connection = ClientConnectionManager(self.client)
 
         self.state = ClientState.IDLE
@@ -232,7 +244,12 @@ class FederatedTrainer:
         try:
             self.state = ClientState.CONNECTING
             self.connection.start()
-            self.client.register(self.capabilities)
+            metadata = None
+            if self.secure_aggregation:
+                from fl_tpu.services.secagg_wire import PUBKEY_METADATA_KEY
+
+                metadata = {PUBKEY_METADATA_KEY: self._secagg_pk.hex()}
+            self.client.register(self.capabilities, metadata=metadata)
             self.state = ClientState.REGISTERED
         except Exception as e:
             logger.error("%s failed to connect: %s", self.client_id, e)
@@ -333,6 +350,31 @@ class FederatedTrainer:
         # 6. upload (ref: _upload_model_update :471-526)
         self.state = ClientState.UPLOADING_UPDATE
         n_samples = int(self._shard["n"])
+        if self.secure_aggregation:
+            # masked uplink (secagg_wire): wait for the round's frozen
+            # roster, then transmit n·θ + pairwise masks — the coordinator
+            # only ever sees the masked payload. DP (when configured) was
+            # already applied above, so masking is post-processing.
+            from fl_tpu.services.secagg_wire import mask_weights
+
+            deadline = time.time() + 60.0
+            while True:
+                ready, peers = self.client.get_secagg_roster(round_number)
+                if ready:
+                    break
+                if time.time() > deadline:
+                    raise RuntimeError(
+                        "secagg roster not frozen within 60s")
+                time.sleep(0.5)
+            if self.client_id not in {cid for cid, _ in peers}:
+                raise RuntimeError(
+                    f"{self.client_id} not in the round {round_number} "
+                    "secagg roster; skipping upload (all-or-retry)")
+            upload_weights = mask_weights(
+                upload_weights, n_samples, self._secagg_sk,
+                self.client_id, peers, round_number,
+                scale=self.secagg_mask_scale,
+            )
         update = ModelUpdate(
             client_id=self.client_id,
             round_number=round_number,

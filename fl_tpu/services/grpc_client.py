@@ -149,12 +149,17 @@ class FederatedLearningClient:
 
     # -- RPC wrappers ---------------------------------------------------------
     def register(self, capabilities: ClientCapabilities,
-                 client_version: str = "fl-tpu/0.1.0") -> Dict[str, Any]:
-        """ref: grpc_client.py:135-178."""
+                 client_version: str = "fl-tpu/0.1.0",
+                 metadata: Optional[Dict[str, str]] = None) -> Dict[str, Any]:
+        """ref: grpc_client.py:135-178. ``metadata`` rides the proto's
+        registration map (e.g. the secure-aggregation public key)."""
         req = pb.ClientRegistration(
             client_id=self.client_id,
             client_version=client_version,
         )
+        if metadata:
+            for k, v in metadata.items():
+                req.metadata[k] = v
         req.capabilities.CopyFrom(
             self.converter.client_capabilities_to_proto(capabilities)
         )
@@ -168,6 +173,17 @@ class FederatedLearningClient:
             "supported_models": list(resp.server_info.supported_models),
             "server_version": resp.server_info.server_version,
         }
+
+    def get_secagg_roster(self, round_number: int):
+        """Fetch the round's frozen secure-aggregation roster.
+
+        Returns (ready, [(client_id, public_key_bytes), ...]).
+        """
+        resp = self._call("GetSecAggRoster", pb.SecAggRosterRequest(
+            client_id=self.client_id, round_number=round_number,
+        ))
+        peers = [(p.client_id, bytes(p.public_key)) for p in resp.peers]
+        return bool(resp.ready), peers
 
     def get_global_model(self, round_number: int = -1,
                          model_type: str = "") -> GlobalModel:

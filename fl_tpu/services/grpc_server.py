@@ -36,6 +36,9 @@ from fl_tpu.services.grpc_utils import (
     ProtobufConverter,
     make_service_handler,
 )
+from fl_tpu.services.secagg_wire import (
+    PUBKEY_METADATA_KEY as SECAGG_PUBKEY_KEY,
+)
 
 logger = logging.getLogger(__name__)
 
@@ -53,7 +56,14 @@ class FederatedLearningServicer:
         converter: Optional[ProtobufConverter] = None,
         aggregator: Optional[FedAvgAggregator] = None,
         persistence=None,
+        secure_aggregation: bool = False,
     ):
+        """``secure_aggregation=True`` switches the round protocol to
+        pairwise-masked uploads (fl_tpu.services.secagg_wire): a roster of
+        registered public keys is frozen per round, aggregation waits for
+        the COMPLETE roster (all-or-retry), payloads skip content
+        validation (they are masked), and the aggregate is the masked sum
+        divided by the summed sample counts."""
         self.round_config = round_config or RoundConfig()
         self.model_name = model_name
         self.converter = converter or ProtobufConverter()
@@ -95,6 +105,10 @@ class FederatedLearningServicer:
         )
         self._aggregating = False
 
+        self.secure_aggregation = secure_aggregation
+        # round_number -> frozen list of roster client ids
+        self.secagg_rosters: Dict[int, list] = {}
+
         # restart resume (fl_tpu.services.persistence.CoordinatorPersistence):
         # pick up at the round after the newest persisted global model —
         # the capability the reference designed but never wired
@@ -126,6 +140,14 @@ class FederatedLearningServicer:
                 "last_loss": 0.0,
                 "last_accuracy": 0.0,
             }
+            pubkey_hex = request.metadata.get(SECAGG_PUBKEY_KEY, "")
+            if pubkey_hex:
+                try:
+                    self.clients[client_id]["secagg_pubkey"] = bytes.fromhex(
+                        pubkey_hex)
+                except ValueError:
+                    logger.warning("client %s sent an undecodable secagg "
+                                   "pubkey; ignoring", client_id)
         logger.info("registered client %s (total %d)", client_id,
                     len(self.clients))
         resp = pb.RegistrationResponse(
@@ -183,10 +205,20 @@ class FederatedLearningServicer:
                         state=pb.CLIENT_STATE_WAITING,
                         loss=update.training_loss)
             n_pending = len(bucket)
-            should_aggregate = (
-                n_pending >= self.round_config.min_clients
-                and not self._aggregating
-            )
+            if self.secure_aggregation:
+                # all-or-retry: masked payloads only cancel when the
+                # COMPLETE roster is present
+                roster = self.secagg_rosters.get(self.current_round)
+                should_aggregate = (
+                    roster is not None
+                    and set(roster).issubset(bucket.keys())
+                    and not self._aggregating
+                )
+            else:
+                should_aggregate = (
+                    n_pending >= self.round_config.min_clients
+                    and not self._aggregating
+                )
             if should_aggregate:
                 self._aggregating = True
         if should_aggregate:
@@ -266,6 +298,40 @@ class FederatedLearningServicer:
         resp.details["registered_clients"] = str(len(self.clients))
         return resp
 
+    def GetSecAggRoster(self, request: pb.SecAggRosterRequest, context):
+        """Secure-aggregation roster (fl_tpu extension): freezes the set of
+        pubkey-bearing clients for the round once min_clients are present,
+        then serves the same frozen roster to every caller."""
+        if not self.secure_aggregation:
+            return pb.SecAggRoster(
+                ready=False,
+                message="secure aggregation is not enabled on this "
+                        "coordinator",
+            )
+        with self._lock:
+            rn = self.current_round
+            roster = self.secagg_rosters.get(rn)
+            if roster is None:
+                keyed = sorted(
+                    cid for cid, c in self.clients.items()
+                    if c.get("secagg_pubkey")
+                )
+                if len(keyed) >= self.round_config.min_clients:
+                    roster = keyed
+                    self.secagg_rosters[rn] = roster
+                    logger.info("secagg roster frozen for round %d: %s",
+                                rn, roster)
+            resp = pb.SecAggRoster(ready=roster is not None, round_number=rn)
+            if roster is None:
+                resp.message = "roster not yet frozen (waiting for keys)"
+            else:
+                for cid in roster:
+                    resp.peers.add(
+                        client_id=cid,
+                        public_key=self.clients[cid]["secagg_pubkey"],
+                    )
+            return resp
+
     def GetMetrics(self, request: pb.MetricsRequest, context):
         """ref: grpc_server.py:392-431."""
         resp = pb.MetricsResponse(success=True)
@@ -321,7 +387,18 @@ class FederatedLearningServicer:
                     self.pending_updates.get(round_number, {}).values()
                 )
                 prev_model = self.global_model
-            new_model = self.aggregator.aggregate_updates(updates)
+                roster = self.secagg_rosters.get(round_number)
+            if self.secure_aggregation:
+                from fl_tpu.services.secagg_wire import unmask_aggregate
+
+                # only the frozen roster's payloads — any extra submission
+                # would carry masks that don't cancel
+                roster_set = set(roster or ())
+                new_model = unmask_aggregate(
+                    [u for u in updates if u.client_id in roster_set]
+                )
+            else:
+                new_model = self.aggregator.aggregate_updates(updates)
             score = self.aggregator.calculate_convergence_metrics(
                 prev_model, new_model
             )

@@ -50,6 +50,9 @@ RPC_TABLE = {
     "GetRoundConfig": (pb.RoundConfigRequest, pb.RoundConfig),
     "HealthCheck": (pb.HealthRequest, pb.HealthResponse),
     "GetMetrics": (pb.MetricsRequest, pb.MetricsResponse),
+    # fl_tpu service extension (not in the reference's 9 RPCs — additive,
+    # wire-compatible): secure-aggregation roster distribution
+    "GetSecAggRoster": (pb.SecAggRosterRequest, pb.SecAggRoster),
 }
 
 # channel options matching the reference's tuning

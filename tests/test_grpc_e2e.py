@@ -32,3 +32,28 @@ def test_grpc_backend_single_round_e2e():
         assert status["rounds_completed"] >= 1
     # the aggregated global model actually moved through the wire
     assert results["final_accuracy"] is not None
+
+
+def test_grpc_backend_secure_aggregation_round_e2e():
+    """The flagship privacy deployment: a full coordinator<->client round
+    where every upload is DH-keyed pairwise-masked (services/secagg_wire)
+    and the coordinator recovers only the aggregate."""
+    from fl_tpu.orchestration.simulation import (
+        FederatedLearningSimulation,
+        SimulationConfig,
+    )
+
+    sim = FederatedLearningSimulation(SimulationConfig(
+        dataset="mnist", num_clients=2, num_rounds=1,
+        target_accuracy=0.999, backend="grpc",
+        n_train_synth=128, n_test_synth=32,
+        local_epochs=1, batch_size=8,
+        privacy_epsilon=1.0, dp_mode="delta", timeout_s=300,
+        heterogeneous_clients=False,
+        secure_aggregation=True,
+    ))
+    results = sim.run_simulation()
+    assert results["rounds_completed"] >= 1
+    for status in results["client_results"].values():
+        assert status["rounds_completed"] >= 1
+    assert results["final_accuracy"] is not None
