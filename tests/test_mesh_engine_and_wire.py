@@ -138,11 +138,15 @@ def test_proto_field_numbers_golden():
         [1, 2, 3, 4]
 
     svc = pb.DESCRIPTOR.services_by_name["FederatedLearning"]
-    assert {m.name for m in svc.methods} == {
+    reference_methods = {
         "RegisterClient", "UpdateClientCapabilities", "GetTrainingStatus",
         "GetGlobalModel", "SubmitModelUpdate", "JoinTrainingRound",
         "GetRoundConfig", "HealthCheck", "GetMetrics",
     }
+    fl_tpu_extensions = {"GetSecAggRoster"}  # additive; wire-compatible
+    methods = {m.name for m in svc.methods}
+    assert reference_methods <= methods  # every reference RPC still served
+    assert methods - reference_methods == fl_tpu_extensions
 
 
 def test_model_update_wire_bytes_golden():

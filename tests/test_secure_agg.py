@@ -111,3 +111,39 @@ def test_engine_round_with_secure_aggregation():
     for k in w_p:
         np.testing.assert_allclose(np.asarray(w_s[k]), np.asarray(w_p[k]),
                                    rtol=1e-4, atol=1e-5, err_msg=k)
+
+
+def test_secure_agg_composes_with_uplink_compression():
+    """int8 uplink (with EF) + in-superstep secure aggregation together:
+    the round stays close to the plain round (int8 is near-lossless and
+    masks cancel), proving the client pipeline
+    train -> compress -> mask -> aggregate composes."""
+    from fl_tpu.data import load_dataset, make_federated_arrays
+    from fl_tpu.fl.local_training import FederatedTrainingConfig
+    from fl_tpu.models import create_model
+    from fl_tpu.orchestration import FederatedRoundEngine, RoundEngineConfig
+
+    mnist = load_dataset("mnist", n_train_synth=256, n_test_synth=64)
+    fa = make_federated_arrays(mnist, num_clients=4, strategy="iid",
+                               samples_per_client=32, seed=0)
+
+    def build(**kw):
+        return FederatedRoundEngine(
+            create_model("simple_cnn"), fa,
+            RoundEngineConfig(
+                training=FederatedTrainingConfig(local_epochs=1,
+                                                 batch_size=8),
+                seed=12, max_clients=4, **kw),
+        )
+
+    mask = np.ones(4, np.float32)
+    plain = build()
+    combo = build(uplink_compression="int8", secure_aggregation=True,
+                  secure_agg_scale=0.05)
+    r_p = plain.run_round(mask=mask, evaluate=False)
+    r_c = combo.run_round(mask=mask, evaluate=False)
+    assert r_c.train_loss == pytest.approx(r_p.train_loss, rel=1e-4)
+    w_p, w_c = plain.get_model_weights(), combo.get_model_weights()
+    for k in w_p:
+        np.testing.assert_allclose(np.asarray(w_c[k]), np.asarray(w_p[k]),
+                                   atol=6e-3, err_msg=k)
