@@ -94,7 +94,7 @@ class FederatedTrainer:
         tls_cert_path: Optional[str] = None,
         tls_key_path: Optional[str] = None,
         secure_aggregation: bool = False,
-        secagg_mask_scale: float = 1.0,
+        secagg_mask_scale: float = 1000.0,  # must dominate n*|theta|
     ):
         self.client_id = client_id
         self.dataset = dataset

@@ -25,6 +25,13 @@ the round timeout clears it (the Bonawitz §4 Shamir seed-recovery protocol
 is out of scope — documented limitation). Masked payloads cannot be
 content-validated (that is the point), so magnitude validation is skipped
 for them; DP composes by noising BEFORE masking on the client.
+
+**Mask scale.** Gaussian masks hide the payload only when their scale
+dominates it: choose ``scale >> n_max · max|θ|`` (the default 1000 covers
+typical CNN weights at hundreds of samples; Bonawitz's integer masks mod p
+are perfectly hiding — the float analog trades that for simplicity and
+costs ~scale·2⁻²⁴ absolute f32 rounding per coordinate in the recovered
+sum, negligible against the Σn divisor at scale 1e3).
 """
 
 from __future__ import annotations
@@ -78,7 +85,7 @@ def mask_vector(
     peers: Sequence[Tuple[str, bytes]],
     round_number: int,
     dim: int,
-    scale: float = 1.0,
+    scale: float = 1000.0,
 ) -> np.ndarray:
     """Σ_j ±PRG(seed_ij) over the flat weight dimension. Antisymmetric per
     pair: the lexicographically smaller client id adds, the larger
@@ -100,7 +107,7 @@ def mask_weights(
     my_id: str,
     peers: Sequence[Tuple[str, bytes]],
     round_number: int,
-    scale: float = 1.0,
+    scale: float = 1000.0,
 ) -> Dict[str, np.ndarray]:
     """The client-side transform: n·θ + pairwise masks, layer by layer in
     sorted-key order (both sides use the same flattening)."""
