@@ -334,8 +334,9 @@ class FederatedTrainer:
             )
             upload_weights = {k: np.asarray(jnp.asarray(old_w[k]) + noisy[k])
                               for k in noisy}
-            self.budget_tracker.consume_budget(self.eps_r, self.del_r,
-                                               f"round_{round_number}")
+            # budget is consumed AFTER a successful upload (below): a
+            # failed upload — e.g. a secagg roster timeout — releases
+            # nothing, so retrying the round must not burn epsilon
             eps_used = self.eps_r
         else:
             upload_weights = {k: np.asarray(v)
@@ -365,7 +366,8 @@ class FederatedTrainer:
                 if time.time() > deadline:
                     raise RuntimeError(
                         "secagg roster not frozen within 60s")
-                time.sleep(0.5)
+                if self._stop.wait(0.5):
+                    raise RuntimeError("stopped while waiting for roster")
             if self.client_id not in {cid for cid, _ in peers}:
                 raise RuntimeError(
                     f"{self.client_id} not in the round {round_number} "
@@ -375,24 +377,33 @@ class FederatedTrainer:
                 self.client_id, peers, round_number,
                 scale=self.secagg_mask_scale,
             )
+        # under secure aggregation, per-client loss/accuracy are withheld
+        # (masked weights would otherwise ship next to a plaintext training
+        # signal — a membership/property-inference channel)
+        wire_loss = 0.0 if self.secure_aggregation else loss
+        wire_metrics = None if self.secure_aggregation else TrainingMetrics(
+            loss=loss, accuracy=acc,
+            epochs_completed=cfg.local_epochs,
+            training_time=train_time,
+            samples_processed=n_samples * cfg.local_epochs,
+        )
         update = ModelUpdate(
             client_id=self.client_id,
             round_number=round_number,
             model_weights=upload_weights,
             num_samples=n_samples,
-            training_loss=loss,
+            training_loss=wire_loss,
             privacy_budget_used=min(1.0, eps_used),
             compression_ratio=compression_ratio,
-            training_metrics=TrainingMetrics(
-                loss=loss, accuracy=acc,
-                epochs_completed=cfg.local_epochs,
-                training_time=train_time,
-                samples_processed=n_samples * cfg.local_epochs,
-            ),
+            training_metrics=wire_metrics,
         )
         resp = self.client.submit_model_update(update)
         if not resp["success"]:
             raise RuntimeError(f"update rejected: {resp['message']}")
+        if self.budget_tracker is not None and eps_used > 0.0:
+            # the noised update has now actually been released
+            self.budget_tracker.consume_budget(self.eps_r, self.del_r,
+                                               f"round_{round_number}")
 
         self.state = ClientState.ROUND_COMPLETE
         self.rounds_completed += 1

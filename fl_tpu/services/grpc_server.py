@@ -143,11 +143,15 @@ class FederatedLearningServicer:
             pubkey_hex = request.metadata.get(SECAGG_PUBKEY_KEY, "")
             if pubkey_hex:
                 try:
-                    self.clients[client_id]["secagg_pubkey"] = bytes.fromhex(
-                        pubkey_hex)
-                except ValueError:
-                    logger.warning("client %s sent an undecodable secagg "
-                                   "pubkey; ignoring", client_id)
+                    pub = bytes.fromhex(pubkey_hex)
+                    if len(pub) != 32:
+                        raise ValueError(f"{len(pub)} bytes, want 32")
+                    self.clients[client_id]["secagg_pubkey"] = pub
+                except ValueError as e:
+                    # a malformed key in the roster would crash every honest
+                    # client's X25519 exchange — reject it here
+                    logger.warning("client %s sent an invalid secagg "
+                                   "pubkey (%s); ignoring", client_id, e)
         logger.info("registered client %s (total %d)", client_id,
                     len(self.clients))
         resp = pb.RegistrationResponse(
@@ -192,6 +196,8 @@ class FederatedLearningServicer:
             return pb.UpdateAck(success=False,
                                 message=f"undecodable update: {e}")
         with self._lock:
+            if self.secure_aggregation:
+                self._maybe_reset_stalled_secagg_round()
             if update.round_number != self.current_round:
                 return pb.UpdateAck(
                     success=False,
@@ -298,6 +304,32 @@ class FederatedLearningServicer:
         resp.details["registered_clients"] = str(len(self.clients))
         return resp
 
+    def _maybe_reset_stalled_secagg_round(self):
+        """All-or-retry recovery (lock held by caller): if a frozen
+        roster's round has exceeded the configured timeout without a
+        complete submission set, drop the round's updates and roster so the
+        next roster request freezes a fresh (live) roster. This is the
+        'round timeout clears it' promise of the secagg design — checked
+        lazily on the RPC paths rather than by a watchdog thread."""
+        if not self.secure_aggregation:
+            return
+        rn = self.current_round
+        roster = self.secagg_rosters.get(rn)
+        if roster is None or self._aggregating:
+            return
+        timeout = float(self.round_config.timeout_seconds or 300)
+        if time.time() - self.round_start_time <= timeout:
+            return
+        bucket = self.pending_updates.get(rn, {})
+        if not set(roster).issubset(bucket.keys()):
+            logger.warning(
+                "secagg round %d timed out with %d/%d roster submissions; "
+                "clearing for retry with a fresh roster",
+                rn, len(set(roster) & set(bucket)), len(roster))
+            self.pending_updates.pop(rn, None)
+            self.secagg_rosters.pop(rn, None)
+            self.round_start_time = time.time()
+
     def GetSecAggRoster(self, request: pb.SecAggRosterRequest, context):
         """Secure-aggregation roster (fl_tpu extension): freezes the set of
         pubkey-bearing clients for the round once min_clients are present,
@@ -309,16 +341,21 @@ class FederatedLearningServicer:
                         "coordinator",
             )
         with self._lock:
+            self._maybe_reset_stalled_secagg_round()
             rn = self.current_round
             roster = self.secagg_rosters.get(rn)
             if roster is None:
+                # only recently-seen keyed clients, capped at max_clients —
+                # an idle registrant in the roster would deadlock the round
+                now = time.time()
                 keyed = sorted(
                     cid for cid, c in self.clients.items()
-                    if c.get("secagg_pubkey")
-                )
+                    if c.get("secagg_pubkey") and now - c["last_seen"] < 120
+                )[: self.round_config.max_clients]
                 if len(keyed) >= self.round_config.min_clients:
                     roster = keyed
                     self.secagg_rosters[rn] = roster
+                    self.round_start_time = now
                     logger.info("secagg roster frozen for round %d: %s",
                                 rn, roster)
             resp = pb.SecAggRoster(ready=roster is not None, round_number=rn)
@@ -420,6 +457,7 @@ class FederatedLearningServicer:
                 self.global_model = new_model
                 self.current_round = round_number + 1
                 self.pending_updates.pop(round_number, None)
+                self.secagg_rosters.pop(round_number, None)
                 for u in updates:
                     c = self.clients.get(u.client_id)
                     if c:

@@ -56,4 +56,9 @@ def test_grpc_backend_secure_aggregation_round_e2e():
     assert results["rounds_completed"] >= 1
     for status in results["client_results"].values():
         assert status["rounds_completed"] >= 1
-    assert results["final_accuracy"] is not None
+        # clients DO track their local accuracy...
+        assert status["history"][0]["accuracy"] >= 0.0
+    # ...but the coordinator never learns per-client metrics in secure
+    # mode (withheld alongside the masked weights), so the server-side
+    # accuracy view is empty by design
+    assert results["final_accuracy"] is None
