@@ -334,9 +334,13 @@ class FederatedTrainer:
             )
             upload_weights = {k: np.asarray(jnp.asarray(old_w[k]) + noisy[k])
                               for k in noisy}
-            # budget is consumed AFTER a successful upload (below): a
-            # failed upload — e.g. a secagg roster timeout — releases
-            # nothing, so retrying the round must not burn epsilon
+            # budget is consumed immediately BEFORE transmission (below):
+            # a failure that provably happens pre-transmit — e.g. the
+            # secagg roster-wait timeout, which raises before the payload
+            # leaves this process — releases nothing and burns no epsilon,
+            # but once submit_model_update is CALLED the noised weights are
+            # on the wire, so even a rejected submission (stale round, etc.)
+            # is a genuine release and must be charged.
             eps_used = self.eps_r
         else:
             upload_weights = {k: np.asarray(v)
@@ -397,13 +401,14 @@ class FederatedTrainer:
             compression_ratio=compression_ratio,
             training_metrics=wire_metrics,
         )
+        if self.budget_tracker is not None and eps_used > 0.0:
+            # charge the ledger BEFORE the payload leaves the process: a
+            # transmitted-but-rejected upload is still a release
+            self.budget_tracker.consume_budget(self.eps_r, self.del_r,
+                                               f"round_{round_number}")
         resp = self.client.submit_model_update(update)
         if not resp["success"]:
             raise RuntimeError(f"update rejected: {resp['message']}")
-        if self.budget_tracker is not None and eps_used > 0.0:
-            # the noised update has now actually been released
-            self.budget_tracker.consume_budget(self.eps_r, self.del_r,
-                                               f"round_{round_number}")
 
         self.state = ClientState.ROUND_COMPLETE
         self.rounds_completed += 1

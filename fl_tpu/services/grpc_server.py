@@ -106,7 +106,11 @@ class FederatedLearningServicer:
         self._aggregating = False
 
         self.secure_aggregation = secure_aggregation
-        # round_number -> frozen list of roster client ids
+        # round_number -> frozen roster SNAPSHOT: list of (client_id,
+        # pubkey_bytes). Snapshotting the keys at freeze time (not looking
+        # them up live) guarantees every roster fetcher sees the same key
+        # for the same peer even if a client re-registers mid-round —
+        # divergent keys would silently corrupt the unmasked aggregate.
         self.secagg_rosters: Dict[int, list] = {}
 
         # restart resume (fl_tpu.services.persistence.CoordinatorPersistence):
@@ -129,6 +133,43 @@ class FederatedLearningServicer:
         """ref: grpc_server.py:66-134."""
         client_id = request.client_id or f"client_{len(self.clients)}"
         with self._lock:
+            # secagg key-continuity guard: a re-registration that would
+            # CHANGE the stored pubkey while a frozen roster references this
+            # client is rejected — the rest of the roster has already
+            # derived pair masks from the old key, and accepting a new one
+            # would (a) desynchronize mask cancellation and (b) let an
+            # unauthenticated peer hijack a victim's client_id to collude
+            # with the coordinator (see docs/security: bind client_id to
+            # the mTLS client certificate for full protection).
+            if self.secure_aggregation:
+                old_pub = (self.clients.get(client_id) or {}).get(
+                    "secagg_pubkey")
+                new_hex = request.metadata.get(SECAGG_PUBKEY_KEY, "")
+                changes_key = (old_pub is not None
+                               and new_hex != old_pub.hex())
+                in_live_roster = any(
+                    client_id in {cid for cid, _ in roster}
+                    for roster in self.secagg_rosters.values()
+                )
+                if changes_key and in_live_roster:
+                    logger.warning(
+                        "rejecting re-registration of %s: it would replace "
+                        "the secagg pubkey while a frozen roster references "
+                        "it", client_id)
+                    return pb.RegistrationResponse(
+                        success=False,
+                        message=("client_id is referenced by a live "
+                                 "secure-aggregation roster; re-register "
+                                 "with the original key or wait for the "
+                                 "round to complete"),
+                        assigned_client_id=client_id,
+                    )
+                if changes_key:
+                    logger.warning(
+                        "secagg pubkey for %s replaced on re-registration "
+                        "(no live roster references it); without mTLS "
+                        "client-identity binding this is unauthenticated",
+                        client_id)
             self.clients[client_id] = {
                 "capabilities": self.converter.client_capabilities_from_proto(
                     request.capabilities
@@ -217,7 +258,7 @@ class FederatedLearningServicer:
                 roster = self.secagg_rosters.get(self.current_round)
                 should_aggregate = (
                     roster is not None
-                    and set(roster).issubset(bucket.keys())
+                    and {cid for cid, _ in roster}.issubset(bucket.keys())
                     and not self._aggregating
                 )
             else:
@@ -321,11 +362,12 @@ class FederatedLearningServicer:
         if time.time() - self.round_start_time <= timeout:
             return
         bucket = self.pending_updates.get(rn, {})
-        if not set(roster).issubset(bucket.keys()):
+        roster_ids = {cid for cid, _ in roster}
+        if not roster_ids.issubset(bucket.keys()):
             logger.warning(
                 "secagg round %d timed out with %d/%d roster submissions; "
                 "clearing for retry with a fresh roster",
-                rn, len(set(roster) & set(bucket)), len(roster))
+                rn, len(roster_ids & set(bucket)), len(roster))
             self.pending_updates.pop(rn, None)
             self.secagg_rosters.pop(rn, None)
             self.round_start_time = time.time()
@@ -346,10 +388,13 @@ class FederatedLearningServicer:
             roster = self.secagg_rosters.get(rn)
             if roster is None:
                 # only recently-seen keyed clients, capped at max_clients —
-                # an idle registrant in the roster would deadlock the round
+                # an idle registrant in the roster would deadlock the round.
+                # The snapshot pairs each id with the pubkey AS OF freeze
+                # time; later re-registrations cannot skew what peers see.
                 now = time.time()
                 keyed = sorted(
-                    cid for cid, c in self.clients.items()
+                    (cid, bytes(c["secagg_pubkey"]))
+                    for cid, c in self.clients.items()
                     if c.get("secagg_pubkey") and now - c["last_seen"] < 120
                 )[: self.round_config.max_clients]
                 if len(keyed) >= self.round_config.min_clients:
@@ -357,16 +402,13 @@ class FederatedLearningServicer:
                     self.secagg_rosters[rn] = roster
                     self.round_start_time = now
                     logger.info("secagg roster frozen for round %d: %s",
-                                rn, roster)
+                                rn, [cid for cid, _ in roster])
             resp = pb.SecAggRoster(ready=roster is not None, round_number=rn)
             if roster is None:
                 resp.message = "roster not yet frozen (waiting for keys)"
             else:
-                for cid in roster:
-                    resp.peers.add(
-                        client_id=cid,
-                        public_key=self.clients[cid]["secagg_pubkey"],
-                    )
+                for cid, pub in roster:
+                    resp.peers.add(client_id=cid, public_key=pub)
             return resp
 
     def GetMetrics(self, request: pb.MetricsRequest, context):
@@ -430,7 +472,7 @@ class FederatedLearningServicer:
 
                 # only the frozen roster's payloads — any extra submission
                 # would carry masks that don't cancel
-                roster_set = set(roster or ())
+                roster_set = {cid for cid, _ in (roster or ())}
                 new_model = unmask_aggregate(
                     [u for u in updates if u.client_id in roster_set]
                 )
@@ -496,6 +538,18 @@ class FederatedLearningServicer:
                             "dropped invalid update from %s (round %d)",
                             cid, round_number,
                         )
+        except Exception:
+            # the secure path raises ValueError/KeyError/shape errors on
+            # malformed roster payloads; an unobserved executor future would
+            # swallow them and every later submit would re-trigger the same
+            # failing aggregation. Log loudly and clear the round so the
+            # all-or-retry timeout path can recover with a fresh roster.
+            logger.exception("aggregation crashed for round %d; clearing "
+                             "the round's updates for retry", round_number)
+            with self._lock:
+                self.pending_updates.pop(round_number, None)
+                self.secagg_rosters.pop(round_number, None)
+                self.round_start_time = time.time()
         finally:
             with self._lock:
                 self._aggregating = False

@@ -195,3 +195,113 @@ def test_secagg_disabled_coordinator_reports_not_enabled():
             assert not ready
     finally:
         srv.stop()
+
+
+def _direct_servicer(min_clients=2, max_clients=4):
+    from fl_tpu.core.types import RoundConfig
+    from fl_tpu.services.grpc_server import FederatedLearningServicer
+
+    return FederatedLearningServicer(
+        round_config=RoundConfig(min_clients=min_clients,
+                                 max_clients=max_clients),
+        secure_aggregation=True,
+    )
+
+
+def _register(servicer, cid, pub):
+    from fl_tpu.services import federated_learning_pb2 as pb
+    from fl_tpu.services.secagg_wire import PUBKEY_METADATA_KEY
+
+    req = pb.ClientRegistration(client_id=cid)
+    req.metadata[PUBKEY_METADATA_KEY] = pub.hex()
+    return servicer.RegisterClient(req, None)
+
+
+def test_pubkey_replacement_rejected_while_roster_live():
+    """ADVICE (high): a mid-round re-registration must not swap the stored
+    pubkey out from under a frozen roster — different roster fetchers would
+    otherwise derive non-cancelling masks and silently corrupt the model."""
+    from fl_tpu.services import federated_learning_pb2 as pb
+
+    servicer = _direct_servicer(min_clients=2)
+    (sk_a, pk_a), (sk_b, pk_b) = generate_keypair(), generate_keypair()
+    assert _register(servicer, "a", pk_a).success
+    assert _register(servicer, "b", pk_b).success
+    roster = servicer.GetSecAggRoster(
+        pb.SecAggRosterRequest(client_id="a", round_number=0), None)
+    assert roster.ready
+
+    # a re-registration with a FRESH key while the roster is live: rejected
+    _, pk_a2 = generate_keypair()
+    resp = _register(servicer, "a", pk_a2)
+    assert not resp.success
+    assert "roster" in resp.message
+    # same key re-registration (true restart that kept its key): accepted
+    assert _register(servicer, "a", pk_a).success
+
+    # once no roster references the client, a key change is accepted
+    servicer.secagg_rosters.clear()
+    assert _register(servicer, "a", pk_a2).success
+
+
+def test_roster_serves_frozen_snapshot_keys():
+    """The roster response must come from the freeze-time snapshot, not a
+    live lookup of self.clients."""
+    from fl_tpu.services import federated_learning_pb2 as pb
+
+    servicer = _direct_servicer(min_clients=2)
+    (_, pk_a), (_, pk_b) = generate_keypair(), generate_keypair()
+    _register(servicer, "a", pk_a)
+    _register(servicer, "b", pk_b)
+    r1 = servicer.GetSecAggRoster(
+        pb.SecAggRosterRequest(client_id="a", round_number=0), None)
+    assert r1.ready
+    # simulate post-freeze registry mutation (the bug class the snapshot
+    # defends against)
+    _, pk_evil = generate_keypair()
+    servicer.clients["a"]["secagg_pubkey"] = pk_evil
+    r2 = servicer.GetSecAggRoster(
+        pb.SecAggRosterRequest(client_id="b", round_number=0), None)
+    keys = {p.client_id: bytes(p.public_key) for p in r2.peers}
+    assert keys["a"] == pk_a  # the snapshot, not the mutated registry
+
+
+def test_secure_aggregation_crash_clears_round_for_retry():
+    """ADVICE (low): a malformed roster payload (mismatched weight keys)
+    must not leave the round stalled in a silent retry hot loop — the
+    crash is logged and the round's state cleared."""
+    from fl_tpu.core.types import ModelUpdate
+    from fl_tpu.services import federated_learning_pb2 as pb
+
+    servicer = _direct_servicer(min_clients=2, max_clients=2)
+    (_, pk_a), (_, pk_b) = generate_keypair(), generate_keypair()
+    _register(servicer, "a", pk_a)
+    _register(servicer, "b", pk_b)
+    roster = servicer.GetSecAggRoster(
+        pb.SecAggRosterRequest(client_id="a", round_number=0), None)
+    assert roster.ready
+
+    conv = servicer.converter
+    good = ModelUpdate(client_id="a", round_number=0,
+                       model_weights={"w": np.ones((2, 2), np.float32)},
+                       num_samples=10, training_loss=0.0)
+    bad = ModelUpdate(client_id="b", round_number=0,
+                      model_weights={"DIFFERENT": np.ones(3, np.float32)},
+                      num_samples=10, training_loss=0.0)
+    servicer.SubmitModelUpdate(conv.model_update_to_proto(good), None)
+    servicer.SubmitModelUpdate(conv.model_update_to_proto(bad), None)
+
+    deadline = time.time() + 20
+    while time.time() < deadline:
+        with servicer._lock:
+            if (not servicer._aggregating
+                    and 0 not in servicer.pending_updates
+                    and 0 not in servicer.secagg_rosters):
+                break
+        time.sleep(0.05)
+    with servicer._lock:
+        assert not servicer._aggregating
+        assert 0 not in servicer.pending_updates, "round not cleared"
+        assert 0 not in servicer.secagg_rosters, "roster not cleared"
+    # the round did NOT advance (no silent bogus aggregate)
+    assert servicer.current_round == 0
