@@ -246,6 +246,9 @@ class FederatedLearningSimulation:
                 learning_rate=cfg.learning_rate, privacy_config=privacy,
             ),
             secure_aggregation=cfg.secure_aggregation,
+            # cooperative local clients: give stragglers (first-round jit
+            # compiles!) half the round timeout before declaring dropouts
+            secagg_grace_s=max(30.0, cfg.timeout_s / 2),
         )
         server = CoordinatorGRPCServer(servicer, host="127.0.0.1", port=0)
         port = server.start()

@@ -94,7 +94,7 @@ class FederatedTrainer:
         tls_cert_path: Optional[str] = None,
         tls_key_path: Optional[str] = None,
         secure_aggregation: bool = False,
-        secagg_mask_scale: float = 1000.0,  # must dominate n*|theta|
+        secagg_phase_timeout_s: float = 60.0,
     ):
         self.client_id = client_id
         self.dataset = dataset
@@ -128,11 +128,13 @@ class FederatedTrainer:
             tls_root_cert_path=tls_root_cert_path,
             tls_cert_path=tls_cert_path, tls_key_path=tls_key_path,
         )
-        # secure aggregation over the wire (services/secagg_wire.py):
-        # X25519 keypair generated per trainer; pubkey rides registration
-        # metadata; uploads are sample-scaled + pairwise-masked
+        # secure aggregation over the wire (services/secagg_wire.py,
+        # Bonawitz CCS'17): X25519 keypair generated per trainer; pubkey
+        # rides registration metadata; uploads are sample-scaled,
+        # double-masked mod 2^32, with Shamir shares ferried through the
+        # coordinator for dropout recovery
         self.secure_aggregation = secure_aggregation
-        self.secagg_mask_scale = secagg_mask_scale
+        self.secagg_phase_timeout_s = float(secagg_phase_timeout_s)
         self._secagg_sk = self._secagg_pk = None
         if secure_aggregation:
             from fl_tpu.services.secagg_wire import generate_keypair
@@ -355,32 +357,37 @@ class FederatedTrainer:
         # 6. upload (ref: _upload_model_update :471-526)
         self.state = ClientState.UPLOADING_UPDATE
         n_samples = int(self._shard["n"])
+        secagg_session = None
         if self.secure_aggregation:
-            # masked uplink (secagg_wire): wait for the round's frozen
-            # roster, then transmit n·θ + pairwise masks — the coordinator
-            # only ever sees the masked payload. DP (when configured) was
-            # already applied above, so masking is post-processing.
-            from fl_tpu.services.secagg_wire import mask_weights
+            # masked uplink (secagg_wire, Bonawitz CCS'17): roster ->
+            # encrypted Shamir share exchange -> double-masked mod-2^32
+            # payload. The coordinator only ever sees the masked payload;
+            # DP (when configured) was already applied above, so masking
+            # is post-processing. All waits here happen BEFORE
+            # transmission, so raising out of them burns no epsilon.
+            from fl_tpu.services.secagg_wire import SecAggClientSession
 
-            deadline = time.time() + 60.0
-            while True:
-                ready, peers = self.client.get_secagg_roster(round_number)
-                if ready:
-                    break
-                if time.time() > deadline:
-                    raise RuntimeError(
-                        "secagg roster not frozen within 60s")
-                if self._stop.wait(0.5):
-                    raise RuntimeError("stopped while waiting for roster")
-            if self.client_id not in {cid for cid, _ in peers}:
+            info = self._secagg_wait(
+                lambda: self.client.get_secagg_roster(round_number),
+                "roster freeze")
+            if self.client_id not in {cid for cid, _ in info["peers"]}:
                 raise RuntimeError(
                     f"{self.client_id} not in the round {round_number} "
-                    "secagg roster; skipping upload (all-or-retry)")
-            upload_weights = mask_weights(
-                upload_weights, n_samples, self._secagg_sk,
-                self.client_id, peers, round_number,
-                scale=self.secagg_mask_scale,
+                    "secagg roster; skipping upload")
+            secagg_session = SecAggClientSession(
+                self.client_id, self._secagg_sk, round_number,
+                info["peers"], info["nonce"], info["threshold"],
+                info["frac_bits"],
             )
+            self.client.submit_secagg_shares(
+                round_number, info["nonce"],
+                secagg_session.make_share_uploads())
+            bundles = self._secagg_wait(
+                lambda: self.client.get_secagg_shares(round_number),
+                "peer share exchange")
+            secagg_session.receive_shares(bundles)
+            upload_weights = secagg_session.mask_payload(
+                upload_weights, n_samples)
         # under secure aggregation, per-client loss/accuracy are withheld
         # (masked weights would otherwise ship next to a plaintext training
         # signal — a membership/property-inference channel)
@@ -410,6 +417,22 @@ class FederatedTrainer:
         if not resp["success"]:
             raise RuntimeError(f"update rejected: {resp['message']}")
 
+        if secagg_session is not None:
+            # phase 3: wait for the survivor set, then reveal the
+            # reconstruction shares (self-mask seeds for survivors, DH key
+            # shares for dropped peers). The session object enforces the
+            # one-shot/consistency rules.
+            survivors, dropped, nonce = self._secagg_wait(
+                lambda: self.client.get_secagg_reveal(round_number),
+                "survivor-set freeze")
+            items = secagg_session.reveal(survivors, dropped)
+            if not self.client.submit_secagg_reveal(round_number, nonce,
+                                                    items):
+                # non-fatal: the reveal threshold was already met and the
+                # round advanced without this straggler's shares
+                logger.info("%s reveal arrived after round %d completed",
+                            self.client_id, round_number)
+
         self.state = ClientState.ROUND_COMPLETE
         self.rounds_completed += 1
         self.training_history.append({
@@ -418,6 +441,23 @@ class FederatedTrainer:
         })
         logger.info("%s completed round %d: loss=%.4f acc=%.3f (%.1fs)",
                     self.client_id, round_number, loss, acc, time.time() - t0)
+
+    def _secagg_wait(self, fn, what: str):
+        """Poll ``fn() -> (ready, payload...)`` until ready within the
+        phase timeout. Returns the payload (unwrapped when single)."""
+        deadline = time.time() + self.secagg_phase_timeout_s
+        while True:
+            out = fn()
+            if out[0]:
+                rest = out[1:]
+                return rest[0] if len(rest) == 1 else rest
+            if time.time() > deadline:
+                raise RuntimeError(
+                    f"secagg {what} not ready within "
+                    f"{self.secagg_phase_timeout_s:.0f}s")
+            if self._stop.wait(0.5):
+                raise RuntimeError(f"stopped while waiting for secagg "
+                                   f"{what}")
 
     # -- introspection -----------------------------------------------------------
     def get_status(self) -> Dict[str, Any]:

@@ -175,15 +175,72 @@ class FederatedLearningClient:
         }
 
     def get_secagg_roster(self, round_number: int):
-        """Fetch the round's frozen secure-aggregation roster.
+        """Fetch the round's frozen secure-aggregation roster snapshot.
 
-        Returns (ready, [(client_id, public_key_bytes), ...]).
+        Returns (ready, info) where info is a dict with ``peers``
+        ([(client_id, public_key_bytes)] sorted), ``nonce`` (the freeze
+        nonce every mask seed must fold in), ``threshold`` (Shamir t) and
+        ``frac_bits`` (fixed-point precision).
         """
         resp = self._call("GetSecAggRoster", pb.SecAggRosterRequest(
             client_id=self.client_id, round_number=round_number,
         ))
-        peers = [(p.client_id, bytes(p.public_key)) for p in resp.peers]
-        return bool(resp.ready), peers
+        info = {
+            "peers": [(p.client_id, bytes(p.public_key))
+                      for p in resp.peers],
+            "nonce": bytes(resp.roster_nonce),
+            "threshold": int(resp.threshold),
+            "frac_bits": int(resp.frac_bits),
+            "round_number": int(resp.round_number),
+        }
+        return bool(resp.ready), info
+
+    def submit_secagg_shares(self, round_number: int, roster_nonce: bytes,
+                             bundles) -> bool:
+        """Phase 1: upload encrypted Shamir share bundles
+        ([(to_client_id, ciphertext)])."""
+        req = pb.SecAggShareUpload(client_id=self.client_id,
+                                   round_number=round_number,
+                                   roster_nonce=roster_nonce)
+        for to_cid, blob in bundles:
+            req.shares.add(from_client_id=self.client_id,
+                           to_client_id=to_cid, ciphertext=blob)
+        resp = self._call("SubmitSecAggShares", req)
+        if not resp.success:
+            raise GRPCClientError(f"share upload rejected: {resp.message}")
+        return True
+
+    def get_secagg_shares(self, round_number: int):
+        """Phase 1 pickup: (ready, [(from_client_id, ciphertext)])."""
+        resp = self._call("GetSecAggShares", pb.SecAggRosterRequest(
+            client_id=self.client_id, round_number=round_number,
+        ))
+        return (bool(resp.ready),
+                [(s.from_client_id, bytes(s.ciphertext))
+                 for s in resp.shares])
+
+    def get_secagg_reveal(self, round_number: int):
+        """Phase 3 poll: (ready, survivors, dropped, roster_nonce)."""
+        resp = self._call("GetSecAggReveal", pb.SecAggRevealRequest(
+            client_id=self.client_id, round_number=round_number,
+        ))
+        return (bool(resp.ready), list(resp.survivors),
+                list(resp.dropped), bytes(resp.roster_nonce))
+
+    def submit_secagg_reveal(self, round_number: int, roster_nonce: bytes,
+                             items) -> bool:
+        """Phase 3: reveal reconstruction shares
+        ([(subject_id, is_key_share, share_bytes)]). Returns False (no
+        raise) when the server already advanced past the round — a
+        straggler reveal after aggregation fired is not an error."""
+        req = pb.SecAggRevealUpload(client_id=self.client_id,
+                                    round_number=round_number,
+                                    roster_nonce=roster_nonce)
+        for subject, is_key, blob in items:
+            req.shares.add(subject_client_id=subject,
+                           is_key_share=is_key, share=blob)
+        resp = self._call("SubmitSecAggReveal", req)
+        return bool(resp.success)
 
     def get_global_model(self, round_number: int = -1,
                          model_type: str = "") -> GlobalModel:

@@ -57,13 +57,21 @@ class FederatedLearningServicer:
         aggregator: Optional[FedAvgAggregator] = None,
         persistence=None,
         secure_aggregation: bool = False,
+        secagg_threshold: Optional[int] = None,
+        secagg_grace_s: float = 60.0,
     ):
         """``secure_aggregation=True`` switches the round protocol to
-        pairwise-masked uploads (fl_tpu.services.secagg_wire): a roster of
-        registered public keys is frozen per round, aggregation waits for
-        the COMPLETE roster (all-or-retry), payloads skip content
-        validation (they are masked), and the aggregate is the masked sum
-        divided by the summed sample counts."""
+        Bonawitz CCS'17 double-masked uploads (fl_tpu.services.secagg_wire):
+        a roster of registered public keys is frozen per round with a fresh
+        nonce, clients exchange encrypted Shamir shares through the
+        coordinator, payloads arrive masked mod 2^32 (content validation is
+        skipped — that is the point), and after the survivor set freezes
+        the coordinator reconstructs exactly the aggregate. A client that
+        dies AFTER the share phase no longer voids the round: with
+        >= ``secagg_threshold`` survivors (default ceil(2n/3)) the round
+        completes on the survivors' data. ``secagg_grace_s`` is how long
+        the coordinator waits for straggler payloads after the first one
+        arrives before declaring dropouts."""
         self.round_config = round_config or RoundConfig()
         self.model_name = model_name
         self.converter = converter or ProtobufConverter()
@@ -106,12 +114,14 @@ class FederatedLearningServicer:
         self._aggregating = False
 
         self.secure_aggregation = secure_aggregation
-        # round_number -> frozen roster SNAPSHOT: list of (client_id,
-        # pubkey_bytes). Snapshotting the keys at freeze time (not looking
-        # them up live) guarantees every roster fetcher sees the same key
-        # for the same peer even if a client re-registers mid-round —
-        # divergent keys would silently corrupt the unmasked aggregate.
-        self.secagg_rosters: Dict[int, list] = {}
+        self.secagg_threshold = secagg_threshold
+        self.secagg_grace_s = float(secagg_grace_s)
+        # round_number -> SecAggServerRound. The roster inside is a freeze-
+        # time SNAPSHOT of (client_id, pubkey) pairs: every roster fetcher
+        # sees the same key for the same peer even if a client re-registers
+        # mid-round — divergent keys would silently corrupt the unmasked
+        # aggregate.
+        self.secagg_rounds: Dict[int, object] = {}
 
         # restart resume (fl_tpu.services.persistence.CoordinatorPersistence):
         # pick up at the round after the newest persisted global model —
@@ -148,8 +158,8 @@ class FederatedLearningServicer:
                 changes_key = (old_pub is not None
                                and new_hex != old_pub.hex())
                 in_live_roster = any(
-                    client_id in {cid for cid, _ in roster}
-                    for roster in self.secagg_rosters.values()
+                    client_id in rnd.roster_ids
+                    for rnd in self.secagg_rounds.values()
                 )
                 if changes_key and in_live_roster:
                     logger.warning(
@@ -246,6 +256,23 @@ class FederatedLearningServicer:
                              f"{self.current_round}"),
                     round_status=pb.ROUND_STATUS_IN_PROGRESS,
                 )
+            if self.secure_aggregation:
+                rnd = self.secagg_rounds.get(self.current_round)
+                if rnd is None:
+                    return pb.UpdateAck(
+                        success=False,
+                        message="no frozen secagg roster for this round; "
+                                "fetch GetSecAggRoster first",
+                        round_status=pb.ROUND_STATUS_IN_PROGRESS,
+                    )
+                if update.client_id not in rnd.roster_ids:
+                    return pb.UpdateAck(
+                        success=False,
+                        message=(f"{update.client_id} is not in the round "
+                                 f"{self.current_round} secagg roster — a "
+                                 "non-roster masked payload cannot cancel"),
+                        round_status=pb.ROUND_STATUS_IN_PROGRESS,
+                    )
             bucket = self.pending_updates.setdefault(self.current_round, {})
             bucket[update.client_id] = update
             self._touch(update.client_id,
@@ -253,14 +280,15 @@ class FederatedLearningServicer:
                         loss=update.training_loss)
             n_pending = len(bucket)
             if self.secure_aggregation:
-                # all-or-retry: masked payloads only cancel when the
-                # COMPLETE roster is present
-                roster = self.secagg_rosters.get(self.current_round)
-                should_aggregate = (
-                    roster is not None
-                    and {cid for cid, _ in roster}.issubset(bucket.keys())
-                    and not self._aggregating
-                )
+                # aggregation fires from the REVEAL phase, not here; a
+                # complete roster freezes the survivor set immediately
+                # (no dropouts -> no grace wait)
+                if rnd.first_payload_time is None:
+                    rnd.first_payload_time = time.time()
+                if (rnd.survivors is None
+                        and set(rnd.roster_ids).issubset(bucket.keys())):
+                    rnd.freeze_survivors(bucket.keys())
+                should_aggregate = False
             else:
                 should_aggregate = (
                     n_pending >= self.round_config.min_clients
@@ -346,47 +374,48 @@ class FederatedLearningServicer:
         return resp
 
     def _maybe_reset_stalled_secagg_round(self):
-        """All-or-retry recovery (lock held by caller): if a frozen
-        roster's round has exceeded the configured timeout without a
-        complete submission set, drop the round's updates and roster so the
-        next roster request freezes a fresh (live) roster. This is the
-        'round timeout clears it' promise of the secagg design — checked
-        lazily on the RPC paths rather than by a watchdog thread."""
+        """Stall recovery (lock held by caller): if the round has exceeded
+        the configured timeout without reaching an unmaskable state (share
+        phase incomplete, sub-threshold survivors, reveals missing), drop
+        the round's protocol state so the next roster request freezes a
+        fresh roster with a FRESH NONCE — retry masks are therefore always
+        new. Checked lazily on the RPC paths rather than by a watchdog
+        thread."""
         if not self.secure_aggregation:
             return
         rn = self.current_round
-        roster = self.secagg_rosters.get(rn)
-        if roster is None or self._aggregating:
+        rnd = self.secagg_rounds.get(rn)
+        if rnd is None or self._aggregating:
             return
         timeout = float(self.round_config.timeout_seconds or 300)
         if time.time() - self.round_start_time <= timeout:
             return
-        bucket = self.pending_updates.get(rn, {})
-        roster_ids = {cid for cid, _ in roster}
-        if not roster_ids.issubset(bucket.keys()):
-            logger.warning(
-                "secagg round %d timed out with %d/%d roster submissions; "
-                "clearing for retry with a fresh roster",
-                rn, len(roster_ids & set(bucket)), len(roster))
-            self.pending_updates.pop(rn, None)
-            self.secagg_rosters.pop(rn, None)
-            self.round_start_time = time.time()
+        logger.warning(
+            "secagg round %d timed out (shares_ready=%s survivors=%s "
+            "reveals_ok=%s); clearing for retry with a fresh roster+nonce",
+            rn, rnd.shares_ready(), rnd.survivors, rnd.can_unmask())
+        self.pending_updates.pop(rn, None)
+        self.secagg_rounds.pop(rn, None)
+        self.round_start_time = time.time()
 
     def GetSecAggRoster(self, request: pb.SecAggRosterRequest, context):
         """Secure-aggregation roster (fl_tpu extension): freezes the set of
         pubkey-bearing clients for the round once min_clients are present,
-        then serves the same frozen roster to every caller."""
+        then serves the same frozen snapshot (ids, keys, nonce, threshold)
+        to every caller."""
         if not self.secure_aggregation:
             return pb.SecAggRoster(
                 ready=False,
                 message="secure aggregation is not enabled on this "
                         "coordinator",
             )
+        from fl_tpu.services.secagg_wire import SecAggServerRound
+
         with self._lock:
             self._maybe_reset_stalled_secagg_round()
             rn = self.current_round
-            roster = self.secagg_rosters.get(rn)
-            if roster is None:
+            rnd = self.secagg_rounds.get(rn)
+            if rnd is None:
                 # only recently-seen keyed clients, capped at max_clients —
                 # an idle registrant in the roster would deadlock the round.
                 # The snapshot pairs each id with the pubkey AS OF freeze
@@ -398,18 +427,128 @@ class FederatedLearningServicer:
                     if c.get("secagg_pubkey") and now - c["last_seen"] < 120
                 )[: self.round_config.max_clients]
                 if len(keyed) >= self.round_config.min_clients:
-                    roster = keyed
-                    self.secagg_rosters[rn] = roster
+                    rnd = SecAggServerRound(
+                        rn, keyed, threshold=self.secagg_threshold)
+                    self.secagg_rounds[rn] = rnd
                     self.round_start_time = now
-                    logger.info("secagg roster frozen for round %d: %s",
-                                rn, [cid for cid, _ in roster])
-            resp = pb.SecAggRoster(ready=roster is not None, round_number=rn)
-            if roster is None:
+                    logger.info(
+                        "secagg roster frozen for round %d (t=%d): %s",
+                        rn, rnd.threshold, rnd.roster_ids)
+            resp = pb.SecAggRoster(ready=rnd is not None, round_number=rn)
+            if rnd is None:
                 resp.message = "roster not yet frozen (waiting for keys)"
             else:
-                for cid, pub in roster:
+                for cid, pub in rnd.roster:
                     resp.peers.add(client_id=cid, public_key=pub)
+                resp.roster_nonce = rnd.nonce
+                resp.threshold = rnd.threshold
+                resp.frac_bits = rnd.frac_bits
             return resp
+
+    def _secagg_round_for(self, round_number: int, nonce: bytes):
+        """Look up the round's protocol state and bind the caller's nonce
+        to it (a stale-nonce request belongs to a purged roster)."""
+        rnd = self.secagg_rounds.get(round_number)
+        if rnd is None:
+            raise ValueError(f"no live secagg roster for round "
+                             f"{round_number}")
+        if nonce and bytes(nonce) != rnd.nonce:
+            raise ValueError("roster nonce mismatch: your roster was "
+                             "purged; re-fetch GetSecAggRoster")
+        return rnd
+
+    def SubmitSecAggShares(self, request: pb.SecAggShareUpload, context):
+        """Phase 1 ferry: store client i's encrypted share bundles."""
+        try:
+            with self._lock:
+                rnd = self._secagg_round_for(request.round_number,
+                                             request.roster_nonce)
+            rnd.add_share_upload(
+                request.client_id,
+                [(s.to_client_id, bytes(s.ciphertext))
+                 for s in request.shares])
+            return pb.UpdateResponse(success=True, message="shares stored")
+        except ValueError as e:
+            return pb.UpdateResponse(success=False, message=str(e))
+
+    def GetSecAggShares(self, request: pb.SecAggRosterRequest, context):
+        """Phase 1 pickup: the bundles addressed to the caller, served only
+        once EVERY roster member's shares arrived."""
+        try:
+            with self._lock:
+                self._maybe_reset_stalled_secagg_round()
+                rnd = self._secagg_round_for(request.round_number, b"")
+        except ValueError as e:
+            return pb.SecAggShareDownload(ready=False, message=str(e))
+        if not rnd.shares_ready():
+            return pb.SecAggShareDownload(
+                ready=False, message="waiting for peers' shares")
+        resp = pb.SecAggShareDownload(ready=True)
+        for from_cid, blob in rnd.shares_for(request.client_id):
+            resp.shares.add(from_client_id=from_cid,
+                            to_client_id=request.client_id,
+                            ciphertext=blob)
+        return resp
+
+    def GetSecAggReveal(self, request: pb.SecAggRevealRequest, context):
+        """Phase 3 poll: survivor/dropped sets, frozen lazily once every
+        roster payload arrived OR the grace window after the first payload
+        elapsed with >= threshold submissions."""
+        try:
+            with self._lock:
+                self._maybe_reset_stalled_secagg_round()
+                rnd = self._secagg_round_for(request.round_number, b"")
+                if rnd.survivors is None and rnd.shares_ready():
+                    bucket = self.pending_updates.get(request.round_number,
+                                                      {})
+                    submitted = set(bucket) & set(rnd.roster_ids)
+                    complete = submitted == set(rnd.roster_ids)
+                    grace_over = (
+                        rnd.first_payload_time is not None
+                        and time.time() - rnd.first_payload_time
+                        > self.secagg_grace_s
+                    )
+                    if complete or (grace_over
+                                    and len(submitted) >= rnd.threshold):
+                        rnd.freeze_survivors(submitted)
+                        if len(submitted) < self.round_config.min_clients:
+                            logger.warning(
+                                "secagg round %d proceeding with %d "
+                                "survivors (< min_clients=%d) after "
+                                "dropout", request.round_number,
+                                len(submitted),
+                                self.round_config.min_clients)
+        except ValueError as e:
+            return pb.SecAggRevealInfo(ready=False, message=str(e))
+        if rnd.survivors is None:
+            return pb.SecAggRevealInfo(
+                ready=False, message="survivor set not frozen yet")
+        return pb.SecAggRevealInfo(
+            ready=True, roster_nonce=rnd.nonce,
+            survivors=rnd.survivors, dropped=rnd.dropped)
+
+    def SubmitSecAggReveal(self, request: pb.SecAggRevealUpload, context):
+        """Phase 3 collection; triggers unmasking+aggregation once the
+        reveal threshold is met."""
+        try:
+            with self._lock:
+                rnd = self._secagg_round_for(request.round_number,
+                                             request.roster_nonce)
+            rnd.add_reveal(
+                request.client_id,
+                [(s.subject_client_id, s.is_key_share, bytes(s.share))
+                 for s in request.shares])
+        except ValueError as e:
+            return pb.UpdateResponse(success=False, message=str(e))
+        with self._lock:
+            fire = (rnd.can_unmask() and not self._aggregating
+                    and request.round_number == self.current_round)
+            if fire:
+                self._aggregating = True
+        if fire:
+            self._agg_pool.submit(self._perform_aggregation,
+                                  request.round_number)
+        return pb.UpdateResponse(success=True, message="reveal stored")
 
     def GetMetrics(self, request: pb.MetricsRequest, context):
         """ref: grpc_server.py:392-431."""
@@ -466,16 +605,19 @@ class FederatedLearningServicer:
                     self.pending_updates.get(round_number, {}).values()
                 )
                 prev_model = self.global_model
-                roster = self.secagg_rosters.get(round_number)
+                rnd = self.secagg_rounds.get(round_number)
             if self.secure_aggregation:
-                from fl_tpu.services.secagg_wire import unmask_aggregate
-
-                # only the frozen roster's payloads — any extra submission
-                # would carry masks that don't cancel
-                roster_set = {cid for cid, _ in (roster or ())}
-                new_model = unmask_aggregate(
-                    [u for u in updates if u.client_id in roster_set]
+                if rnd is None:
+                    raise ValueError(f"secagg state for round "
+                                     f"{round_number} vanished")
+                # reconstruct self masks + dropped clients' pair masks,
+                # strip them, decode the fixed-point weighted sum
+                new_model = rnd.unmask_aggregate(
+                    [u for u in updates
+                     if u.client_id in set(rnd.survivors or ())]
                 )
+                updates = [u for u in updates
+                           if u.client_id in set(rnd.survivors or ())]
             else:
                 new_model = self.aggregator.aggregate_updates(updates)
             score = self.aggregator.calculate_convergence_metrics(
@@ -499,7 +641,7 @@ class FederatedLearningServicer:
                 self.global_model = new_model
                 self.current_round = round_number + 1
                 self.pending_updates.pop(round_number, None)
-                self.secagg_rosters.pop(round_number, None)
+                self.secagg_rounds.pop(round_number, None)
                 for u in updates:
                     c = self.clients.get(u.client_id)
                     if c:
@@ -548,7 +690,7 @@ class FederatedLearningServicer:
                              "the round's updates for retry", round_number)
             with self._lock:
                 self.pending_updates.pop(round_number, None)
-                self.secagg_rosters.pop(round_number, None)
+                self.secagg_rounds.pop(round_number, None)
                 self.round_start_time = time.time()
         finally:
             with self._lock:

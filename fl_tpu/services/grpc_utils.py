@@ -51,8 +51,13 @@ RPC_TABLE = {
     "HealthCheck": (pb.HealthRequest, pb.HealthResponse),
     "GetMetrics": (pb.MetricsRequest, pb.MetricsResponse),
     # fl_tpu service extension (not in the reference's 9 RPCs — additive,
-    # wire-compatible): secure-aggregation roster distribution
+    # wire-compatible): Bonawitz secure aggregation — roster distribution,
+    # encrypted Shamir share ferry, survivor reveal
     "GetSecAggRoster": (pb.SecAggRosterRequest, pb.SecAggRoster),
+    "SubmitSecAggShares": (pb.SecAggShareUpload, pb.UpdateResponse),
+    "GetSecAggShares": (pb.SecAggRosterRequest, pb.SecAggShareDownload),
+    "GetSecAggReveal": (pb.SecAggRevealRequest, pb.SecAggRevealInfo),
+    "SubmitSecAggReveal": (pb.SecAggRevealUpload, pb.UpdateResponse),
 }
 
 # channel options matching the reference's tuning

@@ -143,7 +143,10 @@ def test_proto_field_numbers_golden():
         "GetGlobalModel", "SubmitModelUpdate", "JoinTrainingRound",
         "GetRoundConfig", "HealthCheck", "GetMetrics",
     }
-    fl_tpu_extensions = {"GetSecAggRoster"}  # additive; wire-compatible
+    # additive; wire-compatible (Bonawitz secure-aggregation phases)
+    fl_tpu_extensions = {"GetSecAggRoster", "SubmitSecAggShares",
+                         "GetSecAggShares", "GetSecAggReveal",
+                         "SubmitSecAggReveal"}
     methods = {m.name for m in svc.methods}
     assert reference_methods <= methods  # every reference RPC still served
     assert methods - reference_methods == fl_tpu_extensions

@@ -1,140 +1,301 @@
 """Deployment-grade secure aggregation over the gRPC wire
-(fl_tpu.services.secagg_wire + servicer roster protocol)."""
+(fl_tpu.services.secagg_wire: Bonawitz CCS'17 double masking with Shamir
+dropout recovery + the servicer's four-phase protocol)."""
 
 import time
 
 import numpy as np
 import pytest
 
+from fl_tpu.core.types import ModelUpdate
+from fl_tpu.services import secagg_crypto as sc
 from fl_tpu.services.secagg_wire import (
+    SecAggClientSession,
+    SecAggServerRound,
     generate_keypair,
-    mask_vector,
-    mask_weights,
-    unmask_aggregate,
 )
 
 
-def _keyed_parties(n):
-    ids = [f"c{i}" for i in range(n)]
+def _protocol_parties(n, threshold=None, rn=5):
+    ids = sorted(f"c{i}" for i in range(n))
     keys = {cid: generate_keypair() for cid in ids}
-    pubs = [(cid, keys[cid][1]) for cid in ids]
-    return ids, keys, pubs
+    srv = SecAggServerRound(rn, [(cid, keys[cid][1]) for cid in ids],
+                            threshold=threshold)
+    sessions = {
+        cid: SecAggClientSession(cid, keys[cid][0], rn, srv.roster,
+                                 srv.nonce, srv.threshold, srv.frac_bits)
+        for cid in ids
+    }
+    return ids, srv, sessions
 
 
-def test_dh_pair_masks_cancel_across_roster():
-    """Each party derives its mask from DH shared secrets only; the
-    roster-wide sum cancels to float precision."""
-    ids, keys, pubs = _keyed_parties(4)
-    D = 513
-    total = np.zeros(D, np.float32)
+def _run_share_phase(ids, srv, sessions):
     for cid in ids:
-        total += mask_vector(keys[cid][0], cid, pubs, round_number=7,
-                             dim=D, scale=3.0)
-    assert np.abs(total).max() < 1e-3
-    # and the masks differ per round (seed binds the round number)
-    m1 = mask_vector(keys[ids[0]][0], ids[0], pubs, 7, D)
-    m2 = mask_vector(keys[ids[0]][0], ids[0], pubs, 8, D)
-    assert not np.allclose(m1, m2)
+        srv.add_share_upload(cid, sessions[cid].make_share_uploads())
+    assert srv.shares_ready()
+    for cid in ids:
+        sessions[cid].receive_shares(srv.shares_for(cid))
 
 
-def test_mask_unmask_recovers_weighted_mean():
-    """3 masked payloads aggregate to the sample-weighted mean while each
-    individual payload is mask-dominated."""
-    from fl_tpu.core.types import ModelUpdate
+def _rand_weights(rng, scale=0.5):
+    return {"w": rng.normal(0, scale, (6, 4)).astype(np.float32),
+            "b": rng.normal(0, scale, (4,)).astype(np.float32)}
 
-    ids, keys, pubs = _keyed_parties(3)
+
+# ===========================================================================
+# in-process protocol algebra
+# ===========================================================================
+
+def test_full_protocol_no_dropout_recovers_weighted_mean():
+    ids, srv, sessions = _protocol_parties(3)
+    _run_share_phase(ids, srv, sessions)
     rng = np.random.default_rng(0)
-    weights = {cid: {"w": rng.normal(0, 0.01, (8, 4)).astype(np.float32),
-                     "b": rng.normal(0, 0.01, (4,)).astype(np.float32)}
-               for cid in ids}
+    true = {cid: _rand_weights(rng) for cid in ids}
     n = {"c0": 10, "c1": 30, "c2": 60}
-
     updates = []
     for cid in ids:
-        masked = mask_weights(weights[cid], n[cid], keys[cid][0], cid,
-                              pubs, round_number=3, scale=1.0)
-        # individual payload is nowhere near n·θ (masks dominate)
-        assert np.abs(masked["w"] - n[cid] * weights[cid]["w"]).max() > 0.05
-        updates.append(ModelUpdate(
-            client_id=cid, round_number=3, model_weights=masked,
-            num_samples=n[cid], training_loss=0.5))
+        masked = sessions[cid].mask_payload(true[cid], n[cid])
+        assert masked["w"].dtype == np.uint32  # integer domain
+        updates.append(ModelUpdate(client_id=cid, round_number=5,
+                                   model_weights=masked,
+                                   num_samples=n[cid], training_loss=0.0))
+    srv.freeze_survivors(ids)
+    assert srv.dropped == []
+    for cid in ids:
+        srv.add_reveal(cid, sessions[cid].reveal(srv.survivors, srv.dropped))
+    gm = srv.unmask_aggregate(updates)
+    total = sum(n.values())
+    for k in ("w", "b"):
+        expect = sum(n[cid] * true[cid][k] for cid in ids) / total
+        np.testing.assert_allclose(gm.model_weights[k], expect, atol=1e-4,
+                                   err_msg=k)
 
-    agg = unmask_aggregate(updates)
-    expect = {
-        k: sum(n[cid] * weights[cid][k] for cid in ids) / sum(n.values())
-        for k in ("w", "b")
-    }
-    for k in expect:
-        np.testing.assert_allclose(agg.model_weights[k], expect[k],
-                                   atol=1e-4, err_msg=k)
+
+def test_dropout_after_share_phase_recovers_survivor_mean():
+    """The headline capability the v1 all-or-retry protocol lacked: a
+    client dying AFTER the share exchange (i.e. mid-training, the long
+    phase) no longer voids the round."""
+    ids, srv, sessions = _protocol_parties(4, threshold=3)
+    _run_share_phase(ids, srv, sessions)
+    rng = np.random.default_rng(1)
+    true = {cid: _rand_weights(rng) for cid in ids}
+    n = dict(zip(ids, (10, 20, 30, 40)))
+    alive = ["c0", "c2", "c3"]  # c1 dies before uploading
+    updates = [ModelUpdate(client_id=cid, round_number=5,
+                           model_weights=sessions[cid].mask_payload(
+                               true[cid], n[cid]),
+                           num_samples=n[cid], training_loss=0.0)
+               for cid in alive]
+    srv.freeze_survivors(alive)
+    assert srv.dropped == ["c1"]
+    for cid in alive:
+        srv.add_reveal(cid, sessions[cid].reveal(srv.survivors, srv.dropped))
+    gm = srv.unmask_aggregate(updates)
+    total = sum(n[cid] for cid in alive)
+    for k in ("w", "b"):
+        expect = sum(n[cid] * true[cid][k] for cid in alive) / total
+        np.testing.assert_allclose(gm.model_weights[k], expect, atol=1e-4,
+                                   err_msg=k)
+    assert gm.participating_clients == sorted(alive)
 
 
-def test_roster_protocol_and_masked_round_over_grpc():
-    """Loopback wire test: 3 clients register X25519 pubkeys, the
-    coordinator freezes the roster at min_clients, each client submits a
-    masked sample-scaled payload, and the aggregated global model equals
-    the true weighted mean — the server never saw an unmasked update."""
-    from fl_tpu.core.types import (
-        ClientCapabilities,
-        ComputePowerLevel,
-        ModelUpdate,
-        RoundConfig,
-    )
-    from fl_tpu.services.grpc_client import FederatedLearningClient
+def test_masked_payload_is_uniform_not_payload_shaped():
+    """Perfect hiding: the masked uint32 coordinates should look uniform
+    regardless of the payload magnitude."""
+    ids, srv, sessions = _protocol_parties(2)
+    _run_share_phase(ids, srv, sessions)
+    w = {"w": np.full((64, 64), 1e-4, np.float32)}
+    masked = sessions["c0"].mask_payload(w, 1)["w"].astype(np.float64)
+    assert abs(masked.mean() - 2**31) < 2**31 * 0.05
+    assert masked.std() > 2**30  # nowhere near the tiny payload
+
+
+def test_sub_threshold_survivors_refused_everywhere():
+    ids, srv, sessions = _protocol_parties(3, threshold=3)
+    _run_share_phase(ids, srv, sessions)
+    with pytest.raises(ValueError, match="threshold"):
+        srv.freeze_survivors(["c0", "c1"])  # 2 < t=3
+    # client-side: even a dishonest server announcing a sub-threshold
+    # survivor set gets a refusal
+    with pytest.raises(ValueError, match="threshold"):
+        sessions["c0"].reveal(["c0", "c1"], ["c2"])
+
+
+def test_client_refuses_double_reveal_and_double_mask():
+    ids, srv, sessions = _protocol_parties(3)
+    _run_share_phase(ids, srv, sessions)
+    s = sessions["c0"]
+    s.mask_payload({"w": np.ones(4, np.float32)}, 1)
+    with pytest.raises(RuntimeError, match="already masked"):
+        s.mask_payload({"w": np.ones(4, np.float32)}, 1)
+    s.reveal(ids, [])
+    # a second reveal with a DIFFERENT partition (the attack: server asks
+    # twice to collect both key and seed shares for one subject) — refused
+    with pytest.raises(RuntimeError, match="already revealed"):
+        s.reveal(["c0", "c1"], ["c2"])
+
+
+def test_client_refuses_inconsistent_survivor_sets():
+    ids, srv, sessions = _protocol_parties(3)
+    _run_share_phase(ids, srv, sessions)
+    s = sessions["c0"]
+    with pytest.raises(ValueError, match="partition"):
+        s.reveal(["c0", "c1"], [])  # c2 unaccounted
+    with pytest.raises(ValueError, match="survivor"):
+        s.reveal(["c1", "c2"], ["c0"])  # self listed as dropped
+
+
+def test_server_rejects_malformed_share_uploads():
+    ids, srv, sessions = _protocol_parties(3)
+    up = sessions["c0"].make_share_uploads()
+    with pytest.raises(ValueError, match="not a roster member"):
+        srv.add_share_upload("intruder", up)
+    with pytest.raises(ValueError, match="every peer exactly once"):
+        srv.add_share_upload("c0", up[:1])  # missing a peer
+    srv.add_share_upload("c0", up)
+    with pytest.raises(ValueError, match="already submitted"):
+        srv.add_share_upload("c0", up)
+
+
+def test_server_rejects_wrong_kind_reveals():
+    ids, srv, sessions = _protocol_parties(3)
+    _run_share_phase(ids, srv, sessions)
+    srv.freeze_survivors(["c0", "c1"])
+    items = sessions["c0"].reveal(srv.survivors, srv.dropped)
+    # flip one item's kind: a key share for a SURVIVOR must be rejected
+    bad = [(s, True, b) if (not k and s == "c1") else (s, k, b)
+           for s, k, b in items]
+    with pytest.raises(ValueError, match="key share"):
+        srv.add_reveal("c0", bad)
+    srv.add_reveal("c0", items)
+    with pytest.raises(ValueError, match="already revealed"):
+        srv.add_reveal("c0", items)
+    with pytest.raises(ValueError, match="not a survivor"):
+        srv.add_reveal("c2", items)
+
+
+def test_mask_seeds_differ_across_roster_freezes():
+    """Two freezes of the SAME round produce different nonces, so a
+    retried upload is masked freshly (ADVICE: retry-roster mask reuse)."""
+    ids = ["a", "b"]
+    keys = {cid: generate_keypair() for cid in ids}
+    roster = [(cid, keys[cid][1]) for cid in ids]
+    r1 = SecAggServerRound(7, roster)
+    r2 = SecAggServerRound(7, roster)
+    assert r1.nonce != r2.nonce
+    w = {"w": np.ones(128, np.float32)}
+    m1 = SecAggClientSession("a", keys["a"][0], 7, r1.roster, r1.nonce,
+                             2).mask_payload(w, 1)["w"]
+    m2 = SecAggClientSession("a", keys["a"][0], 7, r2.roster, r2.nonce,
+                             2).mask_payload(w, 1)["w"]
+    assert not np.array_equal(m1, m2)
+
+
+# ===========================================================================
+# over the wire
+# ===========================================================================
+
+def _wire_coordinator(min_clients, max_clients, grace_s=15.0,
+                      threshold=None):
+    from fl_tpu.core.types import RoundConfig
     from fl_tpu.services.grpc_server import (
         CoordinatorGRPCServer,
         FederatedLearningServicer,
     )
-    from fl_tpu.services.secagg_wire import PUBKEY_METADATA_KEY
 
     servicer = FederatedLearningServicer(
-        round_config=RoundConfig(min_clients=3, max_clients=3,
+        round_config=RoundConfig(min_clients=min_clients,
+                                 max_clients=max_clients,
                                  local_epochs=1, batch_size=8),
         secure_aggregation=True,
+        secagg_threshold=threshold,
+        secagg_grace_s=grace_s,
     )
     srv = CoordinatorGRPCServer(servicer, host="127.0.0.1", port=0)
-    port = srv.start()
+    return servicer, srv, srv.start()
+
+
+def _wire_client(port, cid, pk_hex):
+    from fl_tpu.core.types import ClientCapabilities, ComputePowerLevel
+    from fl_tpu.services.grpc_client import FederatedLearningClient
+    from fl_tpu.services.secagg_wire import PUBKEY_METADATA_KEY
+
     caps = ClientCapabilities(compute_power=ComputePowerLevel.MEDIUM,
                               network_bandwidth=10, available_samples=100)
-    ids = ["sa_a", "sa_b", "sa_c"]
+    c = FederatedLearningClient(host="127.0.0.1", port=port,
+                                client_id=cid, timeout_s=10.0)
+    c.connect()
+    c.register(caps, metadata={PUBKEY_METADATA_KEY: pk_hex})
+    return c
+
+
+def _drive_wire_round(servicer, clients, keys, ids, alive=None,
+                      rn=0, seed=1):
+    """Run the 4-phase protocol by hand over the wire; clients not in
+    ``alive`` die after the share phase. Returns (true_weights, n)."""
+    alive = alive if alive is not None else list(ids)
+    ready, info = clients[ids[0]].get_secagg_roster(rn)
+    assert ready and {p[0] for p in info["peers"]} == set(ids)
+
+    sessions = {
+        cid: SecAggClientSession(cid, keys[cid][0], rn, info["peers"],
+                                 info["nonce"], info["threshold"],
+                                 info["frac_bits"])
+        for cid in ids
+    }
+    for cid in ids:
+        clients[cid].submit_secagg_shares(
+            rn, info["nonce"], sessions[cid].make_share_uploads())
+    for cid in ids:
+        ready, bundles = clients[cid].get_secagg_shares(rn)
+        assert ready
+        sessions[cid].receive_shares(bundles)
+
+    gm = clients[ids[0]].get_global_model()
+    base = {k: np.asarray(v) for k, v in gm.model_weights.items()}
+    rng = np.random.default_rng(seed)
+    true = {cid: {k: (v + rng.normal(0, 0.01, v.shape)).astype(np.float32)
+                  for k, v in base.items()} for cid in ids}
+    n = {cid: 50 * (i + 1) for i, cid in enumerate(ids)}
+    for cid in alive:
+        masked = sessions[cid].mask_payload(true[cid], n[cid])
+        ack = clients[cid].submit_model_update(ModelUpdate(
+            client_id=cid, round_number=rn, model_weights=masked,
+            num_samples=n[cid], training_loss=0.0))
+        assert ack["success"], ack["message"]
+
+    # reveal phase for the live clients
+    for cid in alive:
+        deadline = time.time() + 30
+        while True:
+            ready, survivors, dropped, nonce = \
+                clients[cid].get_secagg_reveal(rn)
+            if ready:
+                break
+            assert time.time() < deadline, "survivor set never froze"
+            time.sleep(0.2)
+        assert sorted(survivors) == sorted(alive)
+        clients[cid].submit_secagg_reveal(
+            rn, nonce, sessions[cid].reveal(survivors, dropped))
+    return true, n
+
+
+def test_wire_round_all_alive():
+    servicer, srv, port = _wire_coordinator(3, 3)
+    ids = sorted(["wa", "wb", "wc"])
     keys = {cid: generate_keypair() for cid in ids}
     clients = {}
     try:
         for cid in ids:
-            c = FederatedLearningClient(host="127.0.0.1", port=port,
-                                        client_id=cid, timeout_s=10.0)
-            c.connect()
-            c.register(caps, metadata={
-                PUBKEY_METADATA_KEY: keys[cid][1].hex()})
-            clients[cid] = c
-
-        ready, peers = clients["sa_a"].get_secagg_roster(0)
-        assert ready and {p[0] for p in peers} == set(ids)
-
-        # true local models + sample counts (never sent in the clear)
-        gm = clients["sa_a"].get_global_model()
-        rnd = gm.round_number
-        base = {k: np.asarray(v) for k, v in gm.model_weights.items()}
-        rng = np.random.default_rng(1)
-        true = {cid: {k: v + rng.normal(0, 0.01, v.shape).astype(np.float32)
-                      for k, v in base.items()} for cid in ids}
-        n = {"sa_a": 50, "sa_b": 100, "sa_c": 150}
-        for cid in ids:
-            masked = mask_weights(true[cid], n[cid], keys[cid][0], cid,
-                                  peers, rnd, scale=1.0)
-            ack = clients[cid].submit_model_update(ModelUpdate(
-                client_id=cid, round_number=rnd, model_weights=masked,
-                num_samples=n[cid], training_loss=1.0))
-            assert ack["success"], ack["message"]
-
+            clients[cid] = _wire_client(port, cid, keys[cid][1].hex())
+        true, n = _drive_wire_round(servicer, clients, keys, ids)
         deadline = time.time() + 30
-        while servicer.current_round == rnd and time.time() < deadline:
+        while servicer.current_round == 0 and time.time() < deadline:
             time.sleep(0.2)
-        assert servicer.current_round == rnd + 1, "aggregation did not fire"
-
+        assert servicer.current_round == 1, "aggregation did not fire"
         agg = servicer.global_model.model_weights
         total = sum(n.values())
-        for k in base:
+        for k in agg:
             expect = sum(n[cid] * true[cid][k] for cid in ids) / total
             np.testing.assert_allclose(np.asarray(agg[k]), expect,
                                        atol=1e-3, err_msg=k)
@@ -144,35 +305,74 @@ def test_roster_protocol_and_masked_round_over_grpc():
         srv.stop()
 
 
-def test_roster_waits_for_min_clients():
-    from fl_tpu.core.types import (
-        ClientCapabilities,
-        ComputePowerLevel,
-        RoundConfig,
-    )
-    from fl_tpu.services.grpc_client import FederatedLearningClient
-    from fl_tpu.services.grpc_server import (
-        CoordinatorGRPCServer,
-        FederatedLearningServicer,
-    )
-    from fl_tpu.services.secagg_wire import PUBKEY_METADATA_KEY
-
-    servicer = FederatedLearningServicer(
-        round_config=RoundConfig(min_clients=2, max_clients=4),
-        secure_aggregation=True,
-    )
-    srv = CoordinatorGRPCServer(servicer, host="127.0.0.1", port=0)
-    port = srv.start()
-    caps = ClientCapabilities(compute_power=ComputePowerLevel.MEDIUM,
-                              network_bandwidth=10, available_samples=10)
+def test_wire_round_with_dropout_completes_on_survivors():
+    """VERDICT #9 'Done' criterion: one client dies after the share phase
+    (post-roster-freeze) and the round still completes with the
+    survivors' data intact."""
+    servicer, srv, port = _wire_coordinator(3, 3, grace_s=1.0, threshold=2)
+    ids = sorted(["da", "db", "dc"])
+    keys = {cid: generate_keypair() for cid in ids}
+    clients = {}
     try:
-        with FederatedLearningClient(host="127.0.0.1", port=port,
-                                     client_id="solo",
-                                     timeout_s=10.0) as c:
-            sk, pk = generate_keypair()
-            c.register(caps, metadata={PUBKEY_METADATA_KEY: pk.hex()})
-            ready, peers = c.get_secagg_roster(0)
-            assert not ready and peers == []  # one key < min_clients=2
+        for cid in ids:
+            clients[cid] = _wire_client(port, cid, keys[cid][1].hex())
+        alive = ["da", "dc"]  # db dies mid-training, after shares
+        true, n = _drive_wire_round(servicer, clients, keys, ids,
+                                    alive=alive)
+        deadline = time.time() + 30
+        while servicer.current_round == 0 and time.time() < deadline:
+            time.sleep(0.2)
+        assert servicer.current_round == 1, \
+            "dropout recovery did not complete the round"
+        agg = servicer.global_model.model_weights
+        total = sum(n[cid] for cid in alive)
+        for k in agg:
+            expect = sum(n[cid] * true[cid][k] for cid in alive) / total
+            np.testing.assert_allclose(np.asarray(agg[k]), expect,
+                                       atol=1e-3, err_msg=k)
+        assert servicer.global_model.participating_clients == sorted(alive)
+    finally:
+        for c in clients.values():
+            c.close()
+        srv.stop()
+
+
+def test_non_roster_masked_submission_rejected():
+    servicer, srv, port = _wire_coordinator(2, 2)
+    ids = sorted(["ra", "rb"])
+    keys = {cid: generate_keypair() for cid in ids}
+    clients = {}
+    try:
+        for cid in ids:
+            clients[cid] = _wire_client(port, cid, keys[cid][1].hex())
+        ready, info = clients["ra"].get_secagg_roster(0)
+        assert ready
+        # an outsider (registered AFTER the freeze, not in the roster)
+        _, pk_x = generate_keypair()
+        outsider = _wire_client(port, "zz_late", pk_x.hex())
+        clients["zz_late"] = outsider
+        ack = outsider.submit_model_update(ModelUpdate(
+            client_id="zz_late", round_number=0,
+            model_weights={"w": np.ones(4, np.uint32)},
+            num_samples=1, training_loss=0.0))
+        assert not ack["success"]
+        assert "roster" in ack["message"]
+    finally:
+        for c in clients.values():
+            c.close()
+        srv.stop()
+
+
+def test_roster_waits_for_min_clients():
+    servicer, srv, port = _wire_coordinator(2, 4)
+    try:
+        sk, pk = generate_keypair()
+        c = _wire_client(port, "solo", pk.hex())
+        try:
+            ready, info = c.get_secagg_roster(0)
+            assert not ready and info["peers"] == []
+        finally:
+            c.close()
     finally:
         srv.stop()
 
@@ -191,11 +391,15 @@ def test_secagg_disabled_coordinator_reports_not_enabled():
     try:
         with FederatedLearningClient(host="127.0.0.1", port=port,
                                      client_id="x", timeout_s=10.0) as c:
-            ready, peers = c.get_secagg_roster(0)
+            ready, info = c.get_secagg_roster(0)
             assert not ready
     finally:
         srv.stop()
 
+
+# ===========================================================================
+# registry guards (round-2 ADVICE fixes)
+# ===========================================================================
 
 def _direct_servicer(min_clients=2, max_clients=4):
     from fl_tpu.core.types import RoundConfig
@@ -240,7 +444,7 @@ def test_pubkey_replacement_rejected_while_roster_live():
     assert _register(servicer, "a", pk_a).success
 
     # once no roster references the client, a key change is accepted
-    servicer.secagg_rosters.clear()
+    servicer.secagg_rounds.clear()
     assert _register(servicer, "a", pk_a2).success
 
 
@@ -255,7 +459,7 @@ def test_roster_serves_frozen_snapshot_keys():
     _register(servicer, "b", pk_b)
     r1 = servicer.GetSecAggRoster(
         pb.SecAggRosterRequest(client_id="a", round_number=0), None)
-    assert r1.ready
+    assert r1.ready and len(r1.roster_nonce) == 16 and r1.threshold == 2
     # simulate post-freeze registry mutation (the bug class the snapshot
     # defends against)
     _, pk_evil = generate_keypair()
@@ -264,44 +468,64 @@ def test_roster_serves_frozen_snapshot_keys():
         pb.SecAggRosterRequest(client_id="b", round_number=0), None)
     keys = {p.client_id: bytes(p.public_key) for p in r2.peers}
     assert keys["a"] == pk_a  # the snapshot, not the mutated registry
+    assert bytes(r2.roster_nonce) == bytes(r1.roster_nonce)
 
 
 def test_secure_aggregation_crash_clears_round_for_retry():
-    """ADVICE (low): a malformed roster payload (mismatched weight keys)
-    must not leave the round stalled in a silent retry hot loop — the
-    crash is logged and the round's state cleared."""
-    from fl_tpu.core.types import ModelUpdate
+    """ADVICE (low): an unmasking crash (here: a survivor payload with a
+    mismatched weight-key set) must not stall the round in a silent retry
+    hot loop — the crash is logged and the round's state cleared."""
     from fl_tpu.services import federated_learning_pb2 as pb
 
     servicer = _direct_servicer(min_clients=2, max_clients=2)
-    (_, pk_a), (_, pk_b) = generate_keypair(), generate_keypair()
-    _register(servicer, "a", pk_a)
-    _register(servicer, "b", pk_b)
+    ids = sorted(["ka", "kb"])
+    keys = {cid: generate_keypair() for cid in ids}
+    for cid in ids:
+        _register(servicer, cid, keys[cid][1])
     roster = servicer.GetSecAggRoster(
-        pb.SecAggRosterRequest(client_id="a", round_number=0), None)
+        pb.SecAggRosterRequest(client_id="ka", round_number=0), None)
     assert roster.ready
+    rnd = servicer.secagg_rounds[0]
+    sessions = {cid: SecAggClientSession(cid, keys[cid][0], 0, rnd.roster,
+                                         rnd.nonce, rnd.threshold)
+                for cid in ids}
+    for cid in ids:
+        rnd.add_share_upload(cid, sessions[cid].make_share_uploads())
+    for cid in ids:
+        sessions[cid].receive_shares(rnd.shares_for(cid))
 
     conv = servicer.converter
-    good = ModelUpdate(client_id="a", round_number=0,
-                       model_weights={"w": np.ones((2, 2), np.float32)},
+    good = ModelUpdate(client_id="ka", round_number=0,
+                       model_weights=sessions["ka"].mask_payload(
+                           {"w": np.ones((2, 2), np.float32)}, 10),
                        num_samples=10, training_loss=0.0)
-    bad = ModelUpdate(client_id="b", round_number=0,
-                      model_weights={"DIFFERENT": np.ones(3, np.float32)},
+    bad = ModelUpdate(client_id="kb", round_number=0,
+                      model_weights={"DIFFERENT": np.ones(3, np.uint32)},
                       num_samples=10, training_loss=0.0)
-    servicer.SubmitModelUpdate(conv.model_update_to_proto(good), None)
-    servicer.SubmitModelUpdate(conv.model_update_to_proto(bad), None)
+    assert servicer.SubmitModelUpdate(
+        conv.model_update_to_proto(good), None).success
+    assert servicer.SubmitModelUpdate(
+        conv.model_update_to_proto(bad), None).success
+    # both submitted -> survivors frozen; reveals trigger aggregation
+    for cid in ids:
+        req = pb.SecAggRevealUpload(client_id=cid, round_number=0,
+                                    roster_nonce=rnd.nonce)
+        for subject, is_key, blob in sessions[cid].reveal(ids, []):
+            req.shares.add(subject_client_id=subject, is_key_share=is_key,
+                           share=blob)
+        servicer.SubmitSecAggReveal(req, None)
 
     deadline = time.time() + 20
     while time.time() < deadline:
         with servicer._lock:
             if (not servicer._aggregating
                     and 0 not in servicer.pending_updates
-                    and 0 not in servicer.secagg_rosters):
+                    and 0 not in servicer.secagg_rounds):
                 break
         time.sleep(0.05)
     with servicer._lock:
         assert not servicer._aggregating
         assert 0 not in servicer.pending_updates, "round not cleared"
-        assert 0 not in servicer.secagg_rosters, "roster not cleared"
+        assert 0 not in servicer.secagg_rounds, "roster not cleared"
     # the round did NOT advance (no silent bogus aggregate)
     assert servicer.current_round == 0

@@ -41,7 +41,13 @@ class _StubClient:
         return GlobalModel(round_number=round_number, model_weights=weights)
 
     def get_secagg_roster(self, round_number):
-        return self.roster_ready, list(self.roster)
+        return self.roster_ready, {
+            "peers": list(self.roster),
+            "nonce": b"\x00" * 16,
+            "threshold": max(1, len(self.roster)),
+            "frac_bits": 16,
+            "round_number": round_number,
+        }
 
     def submit_model_update(self, update):
         self.submitted.append(update)
