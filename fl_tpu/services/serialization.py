@@ -70,6 +70,18 @@ class ModelWeightSerializer:
             if names and all(n.endswith(".npy") for n in names):
                 with np.load(io.BytesIO(data), allow_pickle=False) as z:
                     return {k: z[k] for k in z.files}
+        if data[:1] == b"\x80" and b"compressed_data" in data[:4096]:
+            # the reference's COMPRESSED wire package: a raw pickle of
+            # {'compressed_data': ..., 'metadata': {...}} (reference
+            # src/shared/compression.py:396-414). Executing arbitrary
+            # pickle from the wire is a code-execution risk, so fl_tpu
+            # rejects the format BY DESIGN — detected here by the embedded
+            # dict-key byte markers, without unpickling anything.
+            raise SerializationError(
+                "compressed pickle package format is not supported (it "
+                "requires executing untrusted pickle); disable client-side "
+                "compression (compression_enabled: false) and resend the "
+                "weights uncompressed as torch state_dict or npz")
         return self._torch_load(data)
 
     # -- hex transport form (the reference's wire quirk,

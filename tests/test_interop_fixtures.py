@@ -182,3 +182,44 @@ def test_reference_codegen_stub_full_round_against_our_server():
             assert ack.success, ack.message
     finally:
         server.stop()
+
+
+def test_reference_compressed_package_rejected_with_actionable_error():
+    """A reference client with compression enabled ships a raw-pickle
+    package {'compressed_data': ..., 'metadata': {...}} (reference
+    src/shared/compression.py:396-414). fl_tpu rejects the format BY
+    DESIGN (pickle execution risk) — but the rejection must be an
+    actionable message, not a decode stack trace."""
+    import pickle
+    import zlib
+
+    from fl_tpu.core.types import RoundConfig
+    from fl_tpu.services import federated_learning_pb2 as pb
+    from fl_tpu.services.grpc_server import FederatedLearningServicer
+    from fl_tpu.services.serialization import (
+        ModelWeightSerializer,
+        SerializationError,
+    )
+
+    # build a package to the reference's format spec (never unpickled)
+    package = {
+        "compressed_data": zlib.compress(b"\x00" * 128),
+        "metadata": {"algorithm": "zlib", "original_size_bytes": 128},
+    }
+    blob = pickle.dumps(package, protocol=pickle.HIGHEST_PROTOCOL)
+
+    # serializer layer: clear SerializationError, no pickle execution
+    with pytest.raises(SerializationError, match="compression"):
+        ModelWeightSerializer().deserialize_weights(blob)
+
+    # RPC layer: clean rejection ack carrying the guidance
+    servicer = FederatedLearningServicer(round_config=RoundConfig())
+    ack = servicer.SubmitModelUpdate(
+        pb.ModelUpdate(client_id="ref_comp", round_number=0,
+                       model_weights=blob, num_samples=10,
+                       training_loss=0.1),
+        None,
+    )
+    assert not ack.success
+    assert "compression" in ack.message
+    assert "uncompressed" in ack.message
