@@ -119,8 +119,11 @@ def main() -> None:
               file=sys.stderr)
 
     # bf16 compute (params stay f32): the MXU-native dtype, ~1.3x round
-    # throughput at equal accuracy on this workload
-    model = create_model("simple_cnn", dtype=jnp.bfloat16)
+    # throughput at equal accuracy on this workload.
+    # BENCH_MODEL_KWARGS (JSON) toggles formulation flags for A/B runs,
+    # e.g. '{"fast_stem_wgrad": true}'.
+    extra = json.loads(os.environ.get("BENCH_MODEL_KWARGS", "{}"))
+    model = create_model("simple_cnn", dtype=jnp.bfloat16, **extra)
     cfg = RoundEngineConfig(
         training=FederatedTrainingConfig(
             local_epochs=LOCAL_EPOCHS, batch_size=BATCH_SIZE,

@@ -36,6 +36,12 @@ class CIFAR10CNN(nn.Module):
     dtype: jnp.dtype = jnp.float32
     norm: str = "batch"  # "batch" (reference parity) | "group" (DP-sound)
     group_norm_groups: int = 8
+    # scatter-free max-pool BACKWARD (bit-exact; fl_tpu.ops.pool_vjp).
+    # MEASURED NET-NEGATIVE on the 512-client TPU bench (1.04 vs 1.19
+    # rounds/s): the int32 argmax + one-hot tensors at conv-activation
+    # scale cost more HBM traffic than select-and-scatter saves — see
+    # docs/performance.md round-3 table. Kept as a tested formulation.
+    fast_pool_bwd: bool = False
 
     @property
     def DP_LAYERS(self) -> Optional[Tuple[Tuple, ...]]:
@@ -97,10 +103,16 @@ class CIFAR10CNN(nn.Module):
             x = norm_layer(x, idx)
             return nn.relu(x)
 
+        if self.fast_pool_bwd:
+            # identical forward, scatter-free VJP (fl_tpu.ops.pool_vjp)
+            from fl_tpu.ops.pool_vjp import max_pool_2x2 as pool
+        else:
+            pool = lambda v: nn.max_pool(v, (2, 2), strides=(2, 2))  # noqa: E731
+
         def block(x, features, idx):
             x = conv_norm_relu(x, features, idx)
             x = conv_norm_relu(x, features, idx + 1)
-            x = nn.max_pool(x, (2, 2), strides=(2, 2))
+            x = pool(x)
             x = nn.Dropout(self.dropout_rate, deterministic=det)(x)
             return x
 

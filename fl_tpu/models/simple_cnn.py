@@ -40,6 +40,23 @@ class SimpleCNN(nn.Module):
     dropout_rate: float = 0.25
     dtype: jnp.dtype = jnp.float32
     fast_ops: bool = False
+    # scatter-free max-pool BACKWARD (bit-exact; fl_tpu.ops.pool_vjp).
+    # MEASURED NET-NEGATIVE on the 512-client TPU bench (1.04 vs 1.19
+    # rounds/s): the int32 argmax + one-hot tensors at conv-activation
+    # scale cost more HBM traffic than select-and-scatter saves — see
+    # docs/performance.md round-3 table. Kept as a tested formulation.
+    fast_pool_bwd: bool = False
+    # tap-GEMM conv2 backward (fl_tpu.ops.conv_vjp) — targets the
+    # grouped-conv dgrad/wgrad kernels (49+32.5 ms/round, ~30-60x off
+    # roofline in the round-3 profile); forward unchanged
+    fast_conv2_bwd: bool = False
+    # tap-GEMM stem weight gradient (fl_tpu.ops.stem_vjp): kills the
+    # 100 ms/round layout copy XLA inserted to feed conv1's grouped-conv
+    # wgrad. MEASURED +15% on the 512-client TPU bench (1.36 vs 1.18
+    # rounds/s, round 3) — the first formulation to beat XLA's lowering
+    # in-program. Same forward program; wgrad matches autodiff to float
+    # accumulation order (f32 accumulation via preferred_element_type).
+    fast_stem_wgrad: bool = True
 
     DP_LAYERS = (("conv1", "conv3x3"), ("conv2", "conv3x3"),
                  ("fc1", "dense"), ("fc2", "dense"))
@@ -53,9 +70,23 @@ class SimpleCNN(nn.Module):
             conv1 = FastConv3x3(32, dtype=self.dtype, name="conv1")
             pool = max_pool_2x2
         else:
-            conv1 = nn.Conv(32, (3, 3), padding="SAME", dtype=self.dtype,
-                            name="conv1")
-            pool = lambda v: nn.max_pool(v, (2, 2), strides=(2, 2))  # noqa: E731
+            if self.fast_stem_wgrad:
+                # standard forward, tap-GEMM weight gradient that consumes
+                # the output-gradient in its producer layout
+                # (fl_tpu.ops.stem_vjp)
+                from fl_tpu.ops.stem_vjp import StemConv
+
+                conv1 = StemConv(32, dtype=self.dtype, name="conv1")
+            else:
+                conv1 = nn.Conv(32, (3, 3), padding="SAME",
+                                dtype=self.dtype, name="conv1")
+            if self.fast_pool_bwd:
+                # identical forward (reduce_window max), but the VJP is
+                # reshape+argmax instead of TPU's slow select-and-scatter —
+                # bit-exact incl. tie-breaking (fl_tpu.ops.pool_vjp)
+                from fl_tpu.ops.pool_vjp import max_pool_2x2 as pool
+            else:
+                pool = lambda v: nn.max_pool(v, (2, 2), strides=(2, 2))  # noqa: E731
 
         captures = {}
 
@@ -74,9 +105,15 @@ class SimpleCNN(nn.Module):
         x = pert("conv1", conv1(x))
         x = nn.relu(x)
         x = pool(x)
+        if self.fast_conv2_bwd:
+            from fl_tpu.ops.conv_vjp import TapGemmConv
+
+            conv2 = TapGemmConv(64, dtype=self.dtype, name="conv2")
+        else:
+            conv2 = nn.Conv(64, (3, 3), padding="SAME", dtype=self.dtype,
+                            name="conv2")
         x = tap("conv2", x)
-        x = pert("conv2", nn.Conv(64, (3, 3), padding="SAME",
-                                  dtype=self.dtype, name="conv2")(x))
+        x = pert("conv2", conv2(x))
         x = nn.relu(x)
         x = pool(x)
         x = x.reshape((x.shape[0], -1))  # (B, 7*7*64)

@@ -55,7 +55,9 @@ def main():
     print("xplane files:", xplanes, flush=True)
     if not xplanes:
         return
-    from tensorboard_plugin_profile.convert import raw_to_tool_data
+    # the tensorboard_plugin_profile converter broke against this env's
+    # protobuf/TF versions; the standalone xprof package works
+    from xprof.convert import raw_to_tool_data
 
     for tool in ("framework_op_stats", "hlo_stats"):
         try:

@@ -479,3 +479,50 @@ def test_simple_cnn_fast_ops_parity():
     y1, _ = m1.apply(v0, x, train=False)
     np.testing.assert_allclose(np.asarray(y0), np.asarray(y1),
                                rtol=2e-5, atol=2e-5)
+
+
+class TestPoolVJP:
+    """Scatter-free max-pool backward (fl_tpu.ops.pool_vjp) — must be
+    BIT-exact vs XLA's select-and-scatter, including tie-breaking."""
+
+    def test_matches_select_and_scatter_exactly(self):
+        import flax.linen as nn
+
+        from fl_tpu.ops.pool_vjp import max_pool_2x2
+
+        rng = np.random.default_rng(0)
+        # post-ReLU zeros + forced duplicates: tie-heavy input
+        x = np.maximum(rng.normal(0, 1, (2, 3, 8, 8, 4)), 0) \
+            .astype(np.float32)
+        x[..., ::2, ::2, :] = x[..., 1::2, ::2, :]
+        w = rng.normal(0, 1, (2, 3, 4, 4, 4)).astype(np.float32)
+        ref = lambda v: nn.max_pool(v, (2, 2), strides=(2, 2))  # noqa: E731
+
+        np.testing.assert_array_equal(np.asarray(ref(x)),
+                                      np.asarray(max_pool_2x2(x)))
+        g_ref = jax.grad(lambda v: jnp.sum(ref(v) * w))(x)
+        g_new = jax.grad(lambda v: jnp.sum(max_pool_2x2(v) * w))(x)
+        np.testing.assert_array_equal(np.asarray(g_ref), np.asarray(g_new))
+
+    def test_model_grads_identical_with_and_without(self):
+        from fl_tpu.models import create_model
+
+        x = np.random.default_rng(1).normal(
+            0, 1, (4, 28, 28, 1)).astype(np.float32)
+        y = np.array([0, 1, 2, 3])
+
+        def grads(fast):
+            m = create_model("simple_cnn", fast_pool_bwd=fast)
+            v = m.init(jax.random.PRNGKey(0))
+
+            def loss(params):
+                logits, _ = m.apply({"params": params}, x, train=False)
+                return jnp.mean(
+                    -jax.nn.log_softmax(logits)[np.arange(4), y])
+
+            return jax.grad(loss)(v["params"])
+
+        g1, g2 = grads(True), grads(False)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b)), g1, g2)
