@@ -526,3 +526,57 @@ class TestPoolVJP:
         jax.tree_util.tree_map(
             lambda a, b: np.testing.assert_array_equal(
                 np.asarray(a), np.asarray(b)), g1, g2)
+
+
+class TestConvVJP:
+    """Tap-GEMM conv2 backward (fl_tpu.ops.conv_vjp) — identical forward
+    program, wgrad/dgrad must match autodiff to accumulation order.
+    (Measured net-negative on the TPU bench — kept as a tested
+    formulation; see docs/performance.md round-3 table.)"""
+
+    def test_forward_identical_grads_close(self):
+        from fl_tpu.ops.conv_vjp import conv3x3_tapgemm
+
+        rng = np.random.default_rng(0)
+        x = rng.normal(0, 1, (2, 8, 8, 5)).astype(np.float32)
+        w = rng.normal(0, 0.3, (3, 3, 5, 7)).astype(np.float32)
+        co = rng.normal(0, 1, (2, 8, 8, 7)).astype(np.float32)
+
+        ref = lambda xx, ww: jax.lax.conv_general_dilated(  # noqa: E731
+            xx, ww, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        np.testing.assert_array_equal(
+            np.asarray(ref(x, w)), np.asarray(conv3x3_tapgemm(x, w)))
+
+        gx_r, gw_r = jax.grad(
+            lambda a, b: jnp.sum(ref(a, b) * co), (0, 1))(x, w)
+        gx_n, gw_n = jax.grad(
+            lambda a, b: jnp.sum(conv3x3_tapgemm(a, b) * co), (0, 1))(x, w)
+        np.testing.assert_allclose(np.asarray(gx_r), np.asarray(gx_n),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(gw_r), np.asarray(gw_n),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_model_grads_match_with_and_without(self):
+        from fl_tpu.models import create_model
+
+        x = np.random.default_rng(1).normal(
+            0, 1, (4, 28, 28, 1)).astype(np.float32)
+        y = np.array([0, 1, 2, 3])
+
+        def grads(fast):
+            m = create_model("simple_cnn", fast_conv2_bwd=fast)
+            v = m.init(jax.random.PRNGKey(0))
+
+            def loss(params):
+                logits, _ = m.apply({"params": params}, x, train=False)
+                return jnp.mean(
+                    -jax.nn.log_softmax(logits)[np.arange(4), y])
+
+            return jax.grad(loss)(v["params"])
+
+        g1, g2 = grads(True), grads(False)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-5),
+            g1, g2)
