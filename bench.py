@@ -128,6 +128,12 @@ def main() -> None:
         training=FederatedTrainingConfig(
             local_epochs=LOCAL_EPOCHS, batch_size=BATCH_SIZE,
             learning_rate=0.001, optimizer_type="adam",
+            # bf16-stored Adam moments halve the per-client m/v HBM
+            # traffic of the wgrad+Adam fusions (the profiled fc1 fusion
+            # runs at ~80% of HBM peak); moment arithmetic stays f32.
+            # BENCH_OPT_STATE_DTYPE= (empty) reverts for A/B runs.
+            optimizer_state_dtype=os.environ.get(
+                "BENCH_OPT_STATE_DTYPE", "bfloat16") or None,
         ),
         dp_mode="delta",
         privacy=PrivacyConfig(epsilon=1.0, delta=1e-5, max_grad_norm=1.0),

@@ -53,6 +53,14 @@ class FederatedTrainingConfig:
     # step's loss, pulling heterogeneous clients toward the round's global
     # model. 0.0 = plain FedAvg local training.
     proximal_mu: float = 0.0
+    # Storage dtype for Adam moments ("bfloat16" | None=f32). At C clients
+    # the per-client m/v trees are the dominant HBM traffic of the
+    # wgrad+Adam fusions (each a read+write of C·params floats per step);
+    # bf16 storage halves it. Moment arithmetic stays f32 — only the
+    # carried state is cast. Safe here because local opt state is
+    # re-initialized every round and lives ~steps_per_round Adam steps,
+    # far too few for bf16 EMA granularity loss (1-b2 < 2^-8) to bite.
+    optimizer_state_dtype: Optional[str] = None
 
     def to_dict(self) -> Dict[str, Any]:
         return dataclasses.asdict(self)
@@ -94,11 +102,61 @@ def create_adaptive_config(capabilities: Dict[str, Any]) -> FederatedTrainingCon
     )
 
 
+def _scale_by_adam_stored(b1: float = 0.9, b2: float = 0.999,
+                          eps: float = 1e-8,
+                          state_dtype=jnp.bfloat16) -> optax.GradientTransformation:
+    """`optax.scale_by_adam` with BOTH moments stored in ``state_dtype``.
+
+    optax's ``mu_dtype`` only casts the first moment; at 512 clients the
+    second-moment tree is just as much HBM traffic (the round-3 profile
+    puts the fc1 wgrad+Adam fusion at ~80% of HBM peak, ~5 GB/step —
+    docs/performance.md). Arithmetic is f32 (EMA update, bias correction,
+    rsqrt); only the carried state is cast down.
+    """
+
+    def init_fn(params):
+        z = lambda p: jnp.zeros(jnp.shape(p), dtype=state_dtype)  # noqa: E731
+        return optax.ScaleByAdamState(
+            count=jnp.zeros([], jnp.int32),
+            mu=jax.tree.map(z, params), nu=jax.tree.map(z, params))
+
+    def update_fn(updates, state, params=None):
+        del params
+        count = optax.safe_int32_increment(state.count)
+        f32 = jnp.float32
+        mu = jax.tree.map(
+            lambda m, g: b1 * m.astype(f32) + (1 - b1) * g.astype(f32),
+            state.mu, updates)
+        nu = jax.tree.map(
+            lambda v, g: b2 * v.astype(f32)
+            + (1 - b2) * jnp.square(g.astype(f32)),
+            state.nu, updates)
+        c1 = 1.0 - b1 ** count.astype(f32)
+        c2 = 1.0 - b2 ** count.astype(f32)
+        new_updates = jax.tree.map(
+            lambda m, v: (m / c1) / (jnp.sqrt(v / c2) + eps), mu, nu)
+        cast = lambda t: jax.tree.map(  # noqa: E731
+            lambda a: a.astype(state_dtype), t)
+        return new_updates, optax.ScaleByAdamState(
+            count=count, mu=cast(mu), nu=cast(nu))
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def make_optimizer(cfg: FederatedTrainingConfig) -> optax.GradientTransformation:
     """Optimizer factory (ref: _create_optimizer, src/shared/training.py:244-256)."""
+    state_dtype = (jnp.dtype(cfg.optimizer_state_dtype)
+                   if cfg.optimizer_state_dtype else None)
     if cfg.optimizer_type == "adam":
+        if state_dtype is not None:
+            return optax.chain(_scale_by_adam_stored(state_dtype=state_dtype),
+                               optax.scale(-cfg.learning_rate))
         return optax.adam(cfg.learning_rate)
     if cfg.optimizer_type == "adamw":
+        if state_dtype is not None:
+            return optax.chain(_scale_by_adam_stored(state_dtype=state_dtype),
+                               optax.add_decayed_weights(cfg.weight_decay),
+                               optax.scale(-cfg.learning_rate))
         return optax.adamw(cfg.learning_rate, weight_decay=cfg.weight_decay)
     if cfg.optimizer_type == "sgd":
         return optax.sgd(cfg.learning_rate, momentum=cfg.momentum)

@@ -2,6 +2,7 @@
 checkpoints, evaluation (ref API: LocalTrainer, training.py:28-404)."""
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -82,3 +83,70 @@ def test_validate_training_data(setup):
                                  np.asarray([0, 1, 99, 2]))
     assert not bad["valid"]
     assert "labels out of range" in bad["problems"]
+
+
+class TestBf16StoredAdam:
+    """optimizer_state_dtype="bfloat16" stores both Adam moments in bf16
+    (halves the dominant per-client m/v HBM traffic on the TPU bench) but
+    must track f32 Adam closely over a round's worth of steps — moment
+    arithmetic stays f32."""
+
+    def _run(self, cfg, steps=10):
+        import optax
+
+        from fl_tpu.fl.local_training import make_optimizer
+
+        params = {"w": jnp.asarray(
+            np.random.default_rng(0).normal(0, 1, (32, 16)), jnp.float32)}
+        opt = make_optimizer(cfg)
+        p, s = params, opt.init(params)
+        for i in range(steps):
+            g = jax.tree.map(lambda x: jnp.sin(x * (i + 1)) * 0.1, p)
+            u, s = opt.update(g, s, p)
+            p = optax.apply_updates(p, u)
+        return p, s
+
+    def test_tracks_f32_adam(self):
+        from fl_tpu.fl.local_training import FederatedTrainingConfig
+
+        p32, _ = self._run(FederatedTrainingConfig())
+        p16, s16 = self._run(
+            FederatedTrainingConfig(optimizer_state_dtype="bfloat16"))
+        # state really is bf16 (the point of the option)
+        mu = s16[0].mu["w"] if isinstance(s16, tuple) else s16.mu["w"]
+        assert mu.dtype == jnp.bfloat16
+        np.testing.assert_allclose(np.asarray(p32["w"]),
+                                   np.asarray(p16["w"]),
+                                   rtol=0, atol=2e-4)
+
+    def test_adamw_variant(self):
+        from fl_tpu.fl.local_training import FederatedTrainingConfig
+
+        p32, _ = self._run(FederatedTrainingConfig(optimizer_type="adamw"))
+        p16, _ = self._run(FederatedTrainingConfig(
+            optimizer_type="adamw", optimizer_state_dtype="bfloat16"))
+        np.testing.assert_allclose(np.asarray(p32["w"]),
+                                   np.asarray(p16["w"]),
+                                   rtol=0, atol=2e-4)
+
+    def test_engine_learns_with_bf16_state(self):
+        from fl_tpu.data import load_dataset, make_federated_arrays
+        from fl_tpu.fl.local_training import FederatedTrainingConfig
+        from fl_tpu.models import create_model
+        from fl_tpu.orchestration import (FederatedRoundEngine,
+                                          RoundEngineConfig)
+
+        splits = load_dataset("mnist", n_train_synth=1024,
+                              n_test_synth=256)
+        arrays = make_federated_arrays(splits, num_clients=4,
+                                       strategy="iid", seed=0)
+        eng = FederatedRoundEngine(
+            create_model("simple_cnn"), arrays,
+            RoundEngineConfig(training=FederatedTrainingConfig(
+                local_epochs=2, optimizer_state_dtype="bfloat16")),
+            test_images=splits.test_images, test_labels=splits.test_labels)
+        results = list(eng.run(num_rounds=3, verbose=False))
+        accs = [r.test_accuracy for r in results]
+        # f32 state reaches 0.344 on this exact config (measured); bf16
+        # must match the trajectory, not just "learn a little"
+        assert accs[-1] > 0.30 and accs[-1] > accs[0]
