@@ -297,7 +297,7 @@ def make_ghost_dp_sgd_grad_fn(
     model,
     max_grad_norm: float,
     noise_multiplier: float,
-    norm_chunk: int = 64,
+    norm_chunk: Optional[int] = None,
 ) -> Callable:
     """Ghost-norm (two-pass) DP-SGD: same mechanism as
     :func:`make_dp_sgd_grad_fn` without ever materializing per-example
@@ -332,8 +332,6 @@ def make_ghost_dp_sgd_grad_fn(
     carry batch statistics (none of the instrumented models do).
     """
     import optax
-
-    from fl_tpu.ops.fast_layers import _dy_lane_major, _patches_lane_major
 
     module = model.module
     layers = module.DP_LAYERS
@@ -373,12 +371,29 @@ def make_ghost_dp_sgd_grad_fn(
 
         # per-example global grad norm²
         def conv_sq(a_c, dy_c):
-            """(m,H,W,I), (m,H,W,O) -> (m,) kernel+bias grad norm²."""
-            P = _patches_lane_major(a_c)               # (m, 9I, M)
-            dy2 = _dy_lane_major(dy_c)                 # (m, M, O)
-            g = jnp.einsum("bkm,bmo->bko", P, dy2)     # per-ex kernel grad
-            bg = jnp.sum(dy_c, axis=(1, 2))            # (m, O) bias grad
-            return jnp.sum(g * g, axis=(1, 2)) + jnp.sum(bg * bg, axis=1)
+            """(m,H,W,I), (m,H,W,O) -> (m,) kernel+bias grad norm².
+
+            Tap-wise: nine pad-shifted VIEWS of the input, each contracted
+            against dy as one batched GEMM, squared and accumulated. The
+            previous lane-major patch formulation materialized a 9I×
+            patch tensor plus layout transforms; the round-3 xplane
+            profile put ~49% of the ghost round in the resulting
+            copies/reshapes/pads + the chunk scan's dynamic-slices. The
+            tap form's only transient is the (m, I, O) per-tap grad, and
+            the slice+convert fuse into the dot operands.
+            """
+            m_, H, W, I = a_c.shape
+            O = dy_c.shape[-1]
+            ap = jnp.pad(a_c, ((0, 0), (1, 1), (1, 1), (0, 0)))
+            dyf = dy_c.reshape(m_, H * W, O)
+            s = jnp.sum(jnp.square(jnp.sum(dy_c, axis=(1, 2))), axis=-1)
+            for ky in range(3):
+                for kx in range(3):
+                    xt = ap[:, ky:ky + H, kx:kx + W, :].reshape(m_, H * W, I)
+                    g = jnp.einsum("bmi,bmo->bio", xt, dyf,
+                                   preferred_element_type=jnp.float32)
+                    s = s + jnp.sum(g * g, axis=(1, 2))
+            return s
 
         sq = jnp.zeros((batch,), jnp.float32)
         for name, kind, meta in entries:
@@ -389,10 +404,13 @@ def make_ghost_dp_sgd_grad_fn(
                 sq += jnp.sum(a * a, axis=1) * dy_sq   # kernel (ghost)
                 sq += dy_sq                            # bias
             elif kind == "conv3x3":
-                # patch matrices are 9I/I × the activation: chunk the batch
-                # so the transient (m, 9I, M) buffers stay small even when
-                # this runs vmapped over hundreds of clients
-                m = norm_chunk if batch % norm_chunk == 0 else batch
+                # optional batch chunking bounds the per-tap transient
+                # when this runs vmapped over hundreds of clients
+                # (default: whole batch — the tap form's transients are
+                # small and the chunk scan's dynamic-slice/pad traffic
+                # measured ~90 ms/round at 32 clients)
+                m = (norm_chunk if norm_chunk and batch % norm_chunk == 0
+                     else batch)
                 if m < batch:
                     ac = a.reshape((batch // m, m) + a.shape[1:])
                     dyc = dy.reshape((batch // m, m) + dy.shape[1:])

@@ -378,32 +378,84 @@ class FederatedRoundEngine:
         self._built_homogeneous = homogeneous
 
         if self.mesh is not None:
-            # explicit shardings: global model replicated, every
-            # client-stacked argument split over the mesh's client axis
-            # (incl. the uplink error-feedback matrix). XLA then runs local
-            # training fully parallel per shard and lowers the FedAvg
-            # reduction to an ICI all-reduce.
-            rep, csh = self._rep_sh, self._client_sh
-            self._superstep = jax.jit(
-                self._build_superstep(),
-                in_shardings=(rep, rep, csh, csh, csh, csh, csh, csh),
-            )
+            # shard_map over the client axis: per-client work (local
+            # training, DP noise, uplink) is FORCED device-local and the
+            # FedAvg reduction is an explicit psum — the only collective.
+            # (The previous GSPMD `in_shardings` formulation let the
+            # partitioner guess, and it guessed badly: the compiled HLO
+            # contained six per-step all-gathers of client-folded conv
+            # weights/activations — GSPMD cannot partition the grouped-conv
+            # lowering of vmapped per-client convs along the group axis —
+            # see scripts/audit_mesh_collectives.py.)
+            from jax.sharding import PartitionSpec as P
+
+            axis = self.mesh.axis_names[0]
+            n_shards = self.mesh.devices.size
+            fn = self._build_superstep(axis=axis, n_shards=n_shards)
+            cfg_ = self.config
+            rep, csh = P(), P(axis)
+            mspec = {
+                "train_loss": rep, "train_accuracy": rep,
+                "weight_change_norm": rep, "weight_norm": rep,
+                "client_loss": csh, "client_accuracy": csh,
+            }
+            if cfg_.dp_mode in ("delta", "client_dp"):
+                mspec["dp_sigma_mean"] = rep
+            if cfg_.uplink_compression != "none":
+                mspec["uplink_ef_norm"] = rep
+            self._superstep = jax.jit(jax.shard_map(
+                fn, mesh=self.mesh,
+                in_specs=(rep, rep, csh, csh, csh, csh, csh, csh),
+                out_specs=(rep, csh, mspec),
+                check_vma=False,
+            ))
         else:
             self._superstep = jax.jit(self._build_superstep())
         self._fused_rounds_fn = None
 
-    def _build_superstep(self):
+    def _build_superstep(self, axis=None, n_shards=1):
+        """Build the round superstep.
+
+        With ``axis`` set the function is a *per-shard* body to be wrapped
+        in ``jax.shard_map`` over that mesh axis: client-stacked arguments
+        arrive as the local (C/n_shards)-client block, per-client math
+        runs device-local, and cross-client reductions (FedAvg weighted
+        sums, metric means) go through ``lax.psum``. Aggregators that
+        mathematically need every client's update on every device
+        (trimmed-mean/median/Krum sorts, ring-masked secure aggregation)
+        ``all_gather`` the stacked deltas first — inherent to those
+        algorithms, not a partitioning artifact.
+        """
         cfg = self.config
         C = self.num_clients
+        CL = C // n_shards if axis is not None else C  # local client block
         local_train = self._local_train
         dp_mode = cfg.dp_mode
         use_pallas_dp = cfg.use_pallas_dp
         if use_pallas_dp is None:
             from fl_tpu.ops.dp import on_tpu
 
-            # mesh-compatible: under a mesh the kernel runs in a shard_map
-            # over the client axis (purely per-client work, no collectives)
-            use_pallas_dp = on_tpu()
+            # auto: fused kernel on TPU, but NOT under a mesh. The
+            # round-2 nested-shard_map kernel measured 3x slower end-to-end
+            # on a 1-device mesh (2150 vs 698 ms/round): the extra
+            # shard_map boundary inside the GSPMD program forced the
+            # 864 MB (C, D) delta matrix to materialize in a fixed layout,
+            # breaking fusions. Explicit use_pallas_dp=True still opts in
+            # under a mesh (the kernel now runs directly inside the flat
+            # shard_map superstep, no nested boundary).
+            use_pallas_dp = on_tpu() and self.mesh is None
+
+        def psum_(x):
+            return x if axis is None else jax.lax.psum(x, axis)
+
+        def gather_clients(tree):
+            """(CL, ...) leaves -> full (C, ...) leaves on every shard."""
+            if axis is None:
+                return tree
+            return jax.tree.map(
+                lambda x: jax.lax.all_gather(
+                    x, axis).reshape((C,) + x.shape[1:]),
+                tree)
         if self.privacy is not None:
             eps_r = cfg.epsilon_per_round or self.privacy.epsilon
             del_r = cfg.delta_per_round or self.privacy.delta
@@ -424,11 +476,21 @@ class FederatedRoundEngine:
             ef_state: jax.Array,           # (C, D) uplink error feedback
                                            # ((C, 1) dummy when disabled)
         ):
-            keys = prng.client_round_keys(self._root_key, round_idx, C)
+            if axis is None:
+                keys = prng.client_round_keys(self._root_key, round_idx, C)
+            else:
+                # this shard's GLOBAL client ids — every client gets the
+                # same key stream regardless of mesh shape
+                rkey = prng.round_key(self._root_key, round_idx)
+                ids = (jax.lax.axis_index(axis) * CL
+                       + jnp.arange(CL, dtype=jnp.int32)).astype(jnp.uint32)
+                keys = jax.vmap(
+                    lambda i: jax.random.fold_in(rkey, i))(ids)
 
             # broadcast global variables to a stacked client axis
             stacked = jax.tree.map(
-                lambda x: jnp.broadcast_to(x[None], (C,) + x.shape), global_vars
+                lambda x: jnp.broadcast_to(x[None], (CL,) + x.shape),
+                global_vars
             )
 
             new_stacked, metrics = jax.vmap(local_train)(
@@ -443,7 +505,10 @@ class FederatedRoundEngine:
                 )
                 noisy_deltas, sens, sigma = dp.dp_noise_client_deltas(
                     deltas, keys, eps_r, del_r, max_norm,
-                    use_pallas=use_pallas_dp, mesh=self.mesh,
+                    use_pallas=use_pallas_dp,
+                    # inside the shard_map body there is no nested mesh;
+                    # per-client noise is already device-local
+                    mesh=self.mesh if axis is None else None,
                 )
                 new_stacked = jax.tree.map(
                     lambda d, g: d + g[None], noisy_deltas, global_vars
@@ -487,8 +552,8 @@ class FederatedRoundEngine:
                 )
                 metrics = dict(
                     metrics,
-                    uplink_ef_norm=jnp.sqrt(
-                        jnp.sum(ef_out * ef_out, axis=1)).mean(),
+                    uplink_ef_norm=psum_(jnp.sum(jnp.sqrt(
+                        jnp.sum(ef_out * ef_out, axis=1)))) / C,
                 )
 
             if dp_mode == "client_dp":
@@ -506,11 +571,14 @@ class FederatedRoundEngine:
                     lambda c, g: c - g[None], new_stacked, global_vars
                 )
                 clipped, pre_norms = dp.clip_client_deltas(deltas, max_norm)
+                # m̄ uses the GLOBAL expected participant count q·N even
+                # per-shard — the per-shard partial sums psum into the same
+                # fixed-denominator mean
                 m = jnp.float32(max(1.0, cfg.participation_rate * C))
                 avg_delta = jax.tree.map(
-                    lambda d: jnp.tensordot(
+                    lambda d: psum_(jnp.tensordot(
                         mask.astype(jnp.float32), d.astype(jnp.float32),
-                        axes=1) / m,
+                        axes=1)) / m,
                     clipped,
                 )
                 sigma = (self.privacy.noise_multiplier * max_norm) / m
@@ -523,7 +591,8 @@ class FederatedRoundEngine:
                     lambda g, d: (g + d.astype(jnp.float32)).astype(g.dtype),
                     global_vars, noisy_delta,
                 )
-                metrics = dict(metrics, dp_sigma=jnp.broadcast_to(sigma, (C,)),
+                metrics = dict(metrics,
+                               dp_sigma=jnp.broadcast_to(sigma, (CL,)),
                                dp_sensitivity=pre_norms)
             else:
                 # FedAvg: sample-weighted, participation-masked;
@@ -535,47 +604,81 @@ class FederatedRoundEngine:
                     agg_src = dict(agg_src)
                     agg_src["batch_stats"] = jax.tree.map(
                         lambda x: jnp.broadcast_to(
-                            jnp.expand_dims(x, 0), (C,) + x.shape
+                            jnp.expand_dims(x, 0), (CL,) + x.shape
                         ),
                         global_vars["batch_stats"],
                     )
                 if cfg.aggregation != "fedavg":
                     from fl_tpu.fl.robust_agg import robust_combine_deltas
 
+                    # trimmed-mean/median sorts and Krum pairwise distances
+                    # need every client's update on every device — gather
+                    # the stacked trees (inherent to the algorithm), then
+                    # run the existing combine replicated
                     new_global = robust_combine_deltas(
-                        global_vars, agg_src, mask, cfg.aggregation,
+                        global_vars, gather_clients(agg_src),
+                        gather_clients(mask), cfg.aggregation,
                         trim_k=cfg.trim_k, krum_f=cfg.krum_f,
                         krum_m=cfg.krum_m,
                     )
                 elif cfg.secure_aggregation:
                     from fl_tpu.fl.secure_agg import secure_fedavg_delta
 
+                    # ring-graph pairwise masks span shard boundaries;
+                    # gather and run the masking+cancellation replicated
                     new_global = secure_fedavg_delta(
-                        global_vars, agg_src, num_samples, mask,
+                        global_vars, gather_clients(agg_src),
+                        gather_clients(num_samples), gather_clients(mask),
                         prng.round_key(self._root_key, round_idx),
                         neighbors=cfg.secure_agg_neighbors,
                         scale=cfg.secure_agg_scale,
                     )
                 else:
-                    new_global = fa.fedavg_delta(
-                        global_vars, agg_src, num_samples, mask
-                    )
+                    # distributed sample-weighted FedAvg: normalize the
+                    # local weight block against the psum'd global totals,
+                    # then one weighted partial sum + psum per tree leaf —
+                    # the round's only collective on the fast path.
+                    # Matches fa.normalized_client_weights incl. the
+                    # uniform fallback when all weighted counts are zero.
+                    nmf = num_samples.astype(jnp.float32) * mask
+                    total = psum_(nmf.sum())
+                    msum = psum_(mask.sum())
+                    w_local = jnp.where(
+                        total > 0,
+                        nmf / jnp.maximum(total, 1e-12),
+                        mask / jnp.maximum(msum, 1.0))
+
+                    def _combine(c, g):
+                        d = (c - g[None]).astype(jnp.float32)
+                        avg = psum_(jnp.tensordot(w_local, d, axes=1))
+                        return (g + avg).astype(g.dtype)
+
+                    new_global = jax.tree.map(
+                        _combine, agg_src, global_vars)
 
             # convergence norms (device-side; host detector consumes scalars)
             w_change = pt.global_norm(pt.tree_sub(new_global, global_vars))
             w_norm = pt.global_norm(new_global)
 
-            w = fa.normalized_client_weights(num_samples, mask)
+            if axis is None:
+                w = fa.normalized_client_weights(num_samples, mask)
+            else:
+                nmf = num_samples.astype(jnp.float32) * mask
+                tot = psum_(nmf.sum())
+                w = jnp.where(tot > 0,
+                              nmf / jnp.maximum(tot, 1e-12),
+                              mask / jnp.maximum(psum_(mask.sum()), 1.0))
             out_metrics = {
-                "train_loss": jnp.sum(metrics["loss"] * w),
-                "train_accuracy": jnp.sum(metrics["accuracy"] * w),
+                "train_loss": psum_(jnp.sum(metrics["loss"] * w)),
+                "train_accuracy": psum_(jnp.sum(metrics["accuracy"] * w)),
                 "weight_change_norm": w_change,
                 "weight_norm": w_norm,
                 "client_loss": metrics["loss"],
                 "client_accuracy": metrics["accuracy"],
             }
             if dp_mode in ("delta", "client_dp"):
-                out_metrics["dp_sigma_mean"] = metrics["dp_sigma"].mean()
+                out_metrics["dp_sigma_mean"] = (
+                    psum_(metrics["dp_sigma"].sum()) / C)
             if uplink_kind != "none":
                 out_metrics["uplink_ef_norm"] = metrics["uplink_ef_norm"]
             return new_global, ef_out, out_metrics

@@ -31,6 +31,17 @@ TRACE_DIR = "/tmp/fl_tpu_trace"
 
 
 def main():
+    import argparse
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--mesh", type=int, default=0,
+                   help="profile the GSPMD mesh program over N devices "
+                        "(N=1 isolates mesh-program overhead on one chip)")
+    p.add_argument("--pallas-dp", default=None,
+                   choices=["on", "off"],
+                   help="override use_pallas_dp (default: engine auto)")
+    args = p.parse_args()
+
     print(f"devices: {jax.devices()}", flush=True)
     splits = load_dataset("mnist", n_train_synth=512 * 64, n_test_synth=1024)
     arrays = make_federated_arrays(splits, num_clients=512, strategy="iid",
@@ -39,15 +50,26 @@ def main():
     cfg = RoundEngineConfig(
         training=FederatedTrainingConfig(local_epochs=5, batch_size=32,
                                          learning_rate=0.001,
-                                         optimizer_type="adam"),
+                                         optimizer_type="adam",
+                                         optimizer_state_dtype="bfloat16"),
         dp_mode="delta",
         privacy=PrivacyConfig(epsilon=1.0, delta=1e-5, max_grad_norm=1.0),
         epsilon_per_round=0.02, delta_per_round=1e-7,
         max_clients=512, seed=0,
+        use_pallas_dp=(None if args.pallas_dp is None
+                       else args.pallas_dp == "on"),
     )
-    engine = FederatedRoundEngine(model, arrays, cfg)
+    mesh = None
+    if args.mesh:
+        from fl_tpu.core.mesh import make_mesh
+
+        mesh = make_mesh(args.mesh)
+    engine = FederatedRoundEngine(model, arrays, cfg, mesh=mesh)
     engine.run_round(evaluate=False)  # compile + warmup
     engine.run_round(evaluate=False)
+    import shutil
+
+    shutil.rmtree(TRACE_DIR, ignore_errors=True)
     result = engine.profile_round(TRACE_DIR)
     print(f"profiled round: {result.round_time_s * 1e3:.1f} ms", flush=True)
 
