@@ -44,6 +44,10 @@ def main():
     p.add_argument("--batch", type=int, default=256)
     p.add_argument("--impl", default="ghost",
                    choices=["ghost", "microbatch", "plain"])
+    p.add_argument("--no-stem-wgrad", action="store_true",
+                   help="A/B: disable the tap-GEMM stem wgrad (it wins on "
+                        "the plain bench but may lose inside the ghost "
+                        "program's different layout environment)")
     args = p.parse_args()
 
     print(f"devices: {jax.devices()}", flush=True)
@@ -61,7 +65,8 @@ def main():
                               noise_multiplier=z),
         dp_microbatch=8, dp_sgd_impl=args.impl)
     engine = FederatedRoundEngine(
-        create_model("simple_cnn", dtype=jnp.bfloat16), arrays,
+        create_model("simple_cnn", dtype=jnp.bfloat16,
+                     fast_stem_wgrad=not args.no_stem_wgrad), arrays,
         RoundEngineConfig(
             training=FederatedTrainingConfig(
                 local_epochs=1, batch_size=args.batch, learning_rate=0.1,
