@@ -236,6 +236,28 @@ def make_local_train_fn(
         params = variables["params"]
         global_params = params  # round-start global model (FedProx anchor)
         extra0 = {k: v for k, v in variables.items() if k != "params"}
+
+        # TPU gathers are pathological on 1-byte types (the per-step u8
+        # batch take measured 4.7 GB/s, the single off-roofline op in the
+        # ghost profile — docs/performance.md). Pack 4 pixels per u32
+        # word once, gather words, bitcast back: exact same bytes, 4x
+        # fewer gathered elements.
+        img_shape = images_u8.shape[1:]
+        px = 1
+        for d in img_shape:
+            px *= d
+        if images_u8.dtype == jnp.uint8 and px % 4 == 0:
+            packed = jax.lax.bitcast_convert_type(
+                images_u8.reshape(images_u8.shape[0], px // 4, 4),
+                jnp.uint32)
+
+            def take_images(idx):
+                words = jnp.take(packed, idx, axis=0)      # (B, px/4)
+                return jax.lax.bitcast_convert_type(
+                    words, jnp.uint8).reshape((idx.shape[0],) + img_shape)
+        else:
+            def take_images(idx):
+                return jnp.take(images_u8, idx, axis=0)
         opt_state = optimizer.init(params)
         shuffle_key = prng.stream_key(rng, prng.Stream.SHUFFLE)
         dropout_key = prng.stream_key(rng, prng.Stream.DROPOUT)
@@ -253,7 +275,7 @@ def make_local_train_fn(
             def step_body(carry, step_idx):
                 params, extra, opt_state = carry
                 idx = jax.lax.dynamic_slice(perm, (step_idx * batch,), (batch,))
-                xb = normalize(jnp.take(images_u8, idx, axis=0))
+                xb = normalize(take_images(idx))
                 yb = jnp.take(labels, idx, axis=0)
                 if augment_fn is not None:
                     akey = jax.random.fold_in(

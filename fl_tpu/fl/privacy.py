@@ -344,18 +344,22 @@ def make_ghost_dp_sgd_grad_fn(
         variables = {"params": params, **extra}
         rngs = {"dropout": dkey}
 
-        # pass 1a: capture layer inputs (plain forward)
-        _, caps = module.apply(variables, xb, train=True, rngs=rngs,
-                               dp_capture=True)
+        # capture shapes only (free — no FLOPs): the captures themselves
+        # come out of pass 1's forward via has_aux, so the norm pass costs
+        # ONE forward + ONE backward, not two forwards
+        caps_shapes = jax.eval_shape(
+            lambda v: module.apply(v, xb, train=True, rngs=rngs,
+                                   dp_capture=True)[1], variables)
 
-        # pass 1b: per-example layer-output grads via zero perturbations
+        # pass 1: per-example layer-output grads via zero perturbations,
+        # capturing layer inputs in the same forward
         def preact_shape(name, kind):
             if kind == "groupnorm":
                 # output shape == the captured input's shape
-                return caps[name].shape
+                return caps_shapes[name].shape
             out_features = params[name]["kernel"].shape[-1]
             if kind == "conv3x3":
-                return caps[name].shape[:-1] + (out_features,)
+                return caps_shapes[name].shape[:-1] + (out_features,)
             return (batch, out_features)
 
         entries = [(e[0], e[1], e[2] if len(e) > 2 else {}) for e in layers]
@@ -363,11 +367,12 @@ def make_ghost_dp_sgd_grad_fn(
                  for name, kind, _ in entries}
 
         def summed_loss_of_perturb(perturb):
-            logits, _ = module.apply(variables, xb, train=True, rngs=rngs,
-                                     dp_perturb=perturb, dp_capture=True)
-            return jnp.sum(per_example_losses(logits, yb))
+            logits, caps_ = module.apply(variables, xb, train=True,
+                                         rngs=rngs, dp_perturb=perturb,
+                                         dp_capture=True)
+            return jnp.sum(per_example_losses(logits, yb)), caps_
 
-        dys = jax.grad(summed_loss_of_perturb)(zeros)
+        dys, caps = jax.grad(summed_loss_of_perturb, has_aux=True)(zeros)
 
         # per-example global grad norm²
         def conv_sq(a_c, dy_c):

@@ -64,7 +64,11 @@ def main() -> int:
         samples_per_client=args.samples_per_client, seed=0,
     )
     engine = FederatedRoundEngine(
-        create_model("simple_cnn", dtype=jnp.bfloat16), arrays,
+        # fast_stem_wgrad=False: the tap-GEMM stem wgrad wins +15% on the
+        # plain bench but measured -23% inside the ghost DP program's
+        # layout environment (round-3 xplane A/B, docs/performance.md)
+        create_model("simple_cnn", dtype=jnp.bfloat16,
+                     fast_stem_wgrad=False), arrays,
         RoundEngineConfig(
             training=FederatedTrainingConfig(
                 local_epochs=1, batch_size=args.batch,

@@ -150,3 +150,18 @@ class TestBf16StoredAdam:
         # f32 state reaches 0.344 on this exact config (measured); bf16
         # must match the trajectory, not just "learn a little"
         assert accs[-1] > 0.30 and accs[-1] > accs[0]
+
+
+def test_packed_u8_gather_roundtrip_exact():
+    """local_training packs 4 pixels/u32 word for the per-step batch
+    gather (TPU gathers are pathological on 1-byte types — the one
+    off-roofline op in the round-3 ghost profile). The pack/gather/unpack
+    must be byte-exact for any index pattern."""
+    x = np.random.default_rng(0).integers(
+        0, 256, (16, 28, 28, 1), dtype=np.uint8)
+    packed = jax.lax.bitcast_convert_type(
+        jnp.asarray(x).reshape(16, 196, 4), jnp.uint32)
+    idx = jnp.asarray([3, 1, 7, 15, 3, 0])  # duplicates allowed
+    back = jax.lax.bitcast_convert_type(
+        jnp.take(packed, idx, axis=0), jnp.uint8).reshape(6, 28, 28, 1)
+    np.testing.assert_array_equal(np.asarray(back), x[np.asarray(idx)])
