@@ -31,8 +31,11 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 def main() -> int:
     p = argparse.ArgumentParser()
-    p.add_argument("--clients", type=int, default=32)
-    p.add_argument("--samples-per-client", type=int, default=2048)
+    # defaults = the measured round-3 headline config: q=0.0625 (the
+    # lower sampling rate buys a much smaller calibrated z=4.67 than the
+    # 32x2048 q=0.125 config's z=6.56 — 88.1% vs 28.2% final accuracy)
+    p.add_argument("--clients", type=int, default=24)
+    p.add_argument("--samples-per-client", type=int, default=4096)
     p.add_argument("--batch", type=int, default=256)
     p.add_argument("--rounds", type=int, default=30)
     p.add_argument("--epsilon", type=float, default=1.5)
