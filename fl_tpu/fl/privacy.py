@@ -209,6 +209,62 @@ def central_noise_tree(tree: Any, key: jax.Array, sigma) -> Any:
 
 
 # ---------------------------------------------------------------------------
+# Adaptive clipping (Andrew et al. 2021, "Differentially Private Learning
+# with Adaptive Clipping") — client-level quantile tracking for client_dp
+# ---------------------------------------------------------------------------
+
+def adaptive_clip_delta_multiplier(
+    noise_multiplier: float, count_stddev: float
+) -> float:
+    """Noise multiplier z_Δ to apply to the clipped-delta aggregate so that
+    jointly releasing (aggregate noised at z_Δ·C, centered clipped-count
+    noised at σ_b) is dominated by a single Gaussian mechanism at the
+    user-specified ``noise_multiplier`` z.
+
+    Andrew et al. 2021, Theorem 1: each participant contributes the
+    concatenated record (Δ_i/C of L2 ≤ 1, b_i − ½ of magnitude ½); Gaussian
+    noise (z_Δ, σ_b) on the pair is one Gaussian mechanism with effective
+    multiplier z where  z⁻² = z_Δ⁻² + (2σ_b)⁻².  Solving for z_Δ keeps the
+    RDP accounting identical to the non-adaptive mechanism at z — the
+    accountant does not change, only the aggregate's noise grows slightly.
+    """
+    if count_stddev <= 0:
+        raise PrivacyError("count_stddev must be positive")
+    inv = noise_multiplier ** -2 - (2.0 * count_stddev) ** -2
+    if inv <= 0:
+        raise PrivacyError(
+            f"adaptive clipping infeasible: need 2·count_stddev > "
+            f"noise_multiplier (got σ_b={count_stddev}, z={noise_multiplier})"
+            " — raise clip_count_stddev or lower the noise multiplier"
+        )
+    return float(inv ** -0.5)
+
+
+def noisy_clipped_fraction(
+    centered_sum: jax.Array, expected_count: jax.Array,
+    count_stddev: float, key: jax.Array,
+) -> jax.Array:
+    """DP estimate of the fraction of participants whose pre-clip norm was
+    ≤ C, from the already-reduced centered sum Σᵢ mᵢ·(bᵢ − ½) (per-client
+    contribution magnitude ½ ⇒ count noise σ_b is multiplier 2σ_b).
+    Uses the fixed expected participant count m̄ = q·N as denominator —
+    same public-denominator rule as the client_dp aggregate itself."""
+    noisy = centered_sum + count_stddev * jax.random.normal(key, ())
+    return noisy / expected_count + 0.5
+
+
+def geometric_clip_update(
+    clip_norm: jax.Array, noisy_fraction: jax.Array,
+    target_quantile: float, learning_rate: float,
+) -> jax.Array:
+    """Geometric quantile-tracking step (Andrew et al. 2021, Alg. 1):
+    C ← C·exp(−η_C·(b̃ − γ)). Fixed point is the γ-quantile of client
+    delta norms: b̃ > γ (clip too high) shrinks C, b̃ < γ grows it."""
+    return clip_norm * jnp.exp(
+        -learning_rate * (noisy_fraction - target_quantile))
+
+
+# ---------------------------------------------------------------------------
 # Device path — per-example DP-SGD mode
 # ---------------------------------------------------------------------------
 

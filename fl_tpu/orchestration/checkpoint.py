@@ -118,6 +118,10 @@ def save_engine_checkpoint(engine, directory: str) -> Path:
         # without this a resumed dp_sgd/client_dp run would restart RDP
         # accounting from zero and silently overdraw the ε bound
         host_state["rdp_accountant"] = engine.rdp_accountant.state_dict()
+    if getattr(engine, "clip_norm", None) is not None:
+        # adaptive clipping: the tracked clip norm is round state — a
+        # resume without it would restart C at the initial max_grad_norm
+        host_state["clip_norm"] = float(engine.clip_norm)
     path = mgr.save(engine.round_number, engine.global_variables, host_state)
     if getattr(engine, "server_opt_state", None) is not None:
         # adaptive server optimizers (FedAdam/FedYogi/FedAvgM) accumulate
@@ -160,6 +164,8 @@ def restore_engine_checkpoint(engine, directory: str,
         engine.budget_tracker.load_state_dict(hs["privacy_budget"])
     if "rdp_accountant" in hs and getattr(engine, "rdp_accountant", None) is not None:
         engine.rdp_accountant.load_state_dict(hs["rdp_accountant"])
+    if "clip_norm" in hs and engine.config.adaptive_clipping:
+        engine.clip_norm = float(hs["clip_norm"])
     det = hs.get("detector", {})
     engine.detector.best_accuracy = det.get("best_accuracy", 0.0)
     bl = det.get("best_loss")

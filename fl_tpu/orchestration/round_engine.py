@@ -117,6 +117,16 @@ class RoundEngineConfig:
     trim_k: int = 1       # trimmed_mean: drop k highest + k lowest per coord
     krum_f: int = 1       # krum: tolerated Byzantine count
     krum_m: int = 1       # multi-krum: how many lowest-score updates to avg
+    # adaptive clipping (Andrew et al. 2021): with dp_mode="client_dp",
+    # track the clip norm to the clip_quantile-quantile of client delta
+    # norms via a DP-noised clipped-count indicator. The RDP accounting is
+    # UNCHANGED — the count release is paid for by slightly inflating the
+    # aggregate noise (fl.privacy.adaptive_clip_delta_multiplier, Thm 1).
+    # privacy.max_grad_norm becomes the INITIAL clip norm.
+    adaptive_clipping: bool = False
+    clip_quantile: float = 0.5    # γ: target quantile of client delta norms
+    clip_lr: float = 0.2          # η_C: geometric-update learning rate
+    clip_count_stddev: Optional[float] = None  # σ_b; default m̄/20 (paper §5)
 
 
 @dataclasses.dataclass
@@ -130,6 +140,7 @@ class RoundResult:
     participating_clients: int
     round_time_s: float
     epsilon_spent: float = 0.0
+    clip_norm: Optional[float] = None  # adaptive clipping: C used this round
 
 
 class FederatedRoundEngine:
@@ -226,6 +237,27 @@ class FederatedRoundEngine:
             from fl_tpu.fl.accounting import RDPAccountant
 
             self.rdp_accountant = RDPAccountant()
+
+        # adaptive clipping (Andrew et al. 2021) — client_dp only: the
+        # quantile indicator is computed on the centrally-visible pre-clip
+        # norms, and its DP cost is folded into the central noise
+        self.clip_norm: Optional[float] = None
+        self._clip_count_stddev: Optional[float] = None
+        if config.adaptive_clipping:
+            if config.dp_mode != "client_dp":
+                raise ValueError(
+                    "adaptive_clipping tracks the client-level central clip "
+                    "norm and requires dp_mode='client_dp' (delta mode "
+                    "noises locally per client; dp_sgd clips per example)")
+            m_bar = max(1.0, config.participation_rate * self.num_clients)
+            self._clip_count_stddev = (
+                config.clip_count_stddev
+                if config.clip_count_stddev is not None
+                else m_bar / 20.0)
+            # validates feasibility (needs 2σ_b > z) — raises PrivacyError
+            dp.adaptive_clip_delta_multiplier(
+                self.privacy.noise_multiplier, self._clip_count_stddev)
+            self.clip_norm = float(self.privacy.max_grad_norm)
 
         self._augment_fn = augment_fn
         self._built_homogeneous: Optional[bool] = None
@@ -401,11 +433,17 @@ class FederatedRoundEngine:
             }
             if cfg_.dp_mode in ("delta", "client_dp"):
                 mspec["dp_sigma_mean"] = rep
+            if cfg_.adaptive_clipping:
+                mspec["next_clip_norm"] = rep
+                mspec["clip_fraction"] = rep
             if cfg_.uplink_compression != "none":
                 mspec["uplink_ef_norm"] = rep
+            in_specs = (rep, rep, csh, csh, csh, csh, csh, csh)
+            if cfg_.adaptive_clipping:
+                in_specs = in_specs + (rep,)
             self._superstep = jax.jit(jax.shard_map(
                 fn, mesh=self.mesh,
-                in_specs=(rep, rep, csh, csh, csh, csh, csh, csh),
+                in_specs=in_specs,
                 out_specs=(rep, csh, mspec),
                 check_vma=False,
             ))
@@ -464,6 +502,12 @@ class FederatedRoundEngine:
             eps_r = del_r = max_norm = None
 
         uplink_kind = cfg.uplink_compression
+        adaptive = cfg.adaptive_clipping
+        # z_Δ: inflated aggregate noise so the count release is free w.r.t.
+        # the accountant (Andrew et al. 2021 Thm 1; host-computed constant)
+        z_delta = (dp.adaptive_clip_delta_multiplier(
+            self.privacy.noise_multiplier, self._clip_count_stddev)
+            if adaptive else None)
 
         def superstep(
             global_vars: Variables,
@@ -475,6 +519,8 @@ class FederatedRoundEngine:
             num_samples: jax.Array,
             ef_state: jax.Array,           # (C, D) uplink error feedback
                                            # ((C, 1) dummy when disabled)
+            clip_norm=None,                # scalar f32, only when
+                                           # adaptive_clipping is on
         ):
             if axis is None:
                 keys = prng.client_round_keys(self._root_key, round_idx, C)
@@ -570,7 +616,8 @@ class FederatedRoundEngine:
                 deltas = jax.tree.map(
                     lambda c, g: c - g[None], new_stacked, global_vars
                 )
-                clipped, pre_norms = dp.clip_client_deltas(deltas, max_norm)
+                cn = clip_norm if adaptive else max_norm
+                clipped, pre_norms = dp.clip_client_deltas(deltas, cn)
                 # m̄ uses the GLOBAL expected participant count q·N even
                 # per-shard — the per-shard partial sums psum into the same
                 # fixed-denominator mean
@@ -581,11 +628,26 @@ class FederatedRoundEngine:
                         axes=1)) / m,
                     clipped,
                 )
-                sigma = (self.privacy.noise_multiplier * max_norm) / m
+                z_eff = z_delta if adaptive else self.privacy.noise_multiplier
+                sigma = (z_eff * cn) / m
                 nkey = prng.stream_key(
                     prng.round_key(self._root_key, round_idx),
                     prng.Stream.DP_NOISE,
                 )
+                if adaptive:
+                    # quantile tracking: DP-noised clipped fraction drives
+                    # the geometric clip update (Andrew et al. 2021 Alg. 1).
+                    # Distinct subkeys for aggregate vs count noise; the
+                    # count noise is added once to the psum'd centered sum
+                    # (replicated under a mesh — same key on every shard).
+                    nkey, ckey = jax.random.split(nkey)
+                    b = (pre_norms <= cn).astype(jnp.float32)
+                    centered = psum_(jnp.sum(
+                        mask.astype(jnp.float32) * (b - 0.5)))
+                    frac = dp.noisy_clipped_fraction(
+                        centered, m, self._clip_count_stddev, ckey)
+                    next_cn = dp.geometric_clip_update(
+                        cn, frac, cfg.clip_quantile, cfg.clip_lr)
                 noisy_delta = dp.central_noise_tree(avg_delta, nkey, sigma)
                 new_global = jax.tree.map(
                     lambda g, d: (g + d.astype(jnp.float32)).astype(g.dtype),
@@ -594,6 +656,9 @@ class FederatedRoundEngine:
                 metrics = dict(metrics,
                                dp_sigma=jnp.broadcast_to(sigma, (CL,)),
                                dp_sensitivity=pre_norms)
+                if adaptive:
+                    metrics = dict(metrics, next_clip_norm=next_cn,
+                                   clip_fraction=frac)
             else:
                 # FedAvg: sample-weighted, participation-masked;
                 # non-participants contribute the *global* model (delta
@@ -679,6 +744,10 @@ class FederatedRoundEngine:
             if dp_mode in ("delta", "client_dp"):
                 out_metrics["dp_sigma_mean"] = (
                     psum_(metrics["dp_sigma"].sum()) / C)
+            if adaptive:
+                # already replicated: computed from psum'd centered sum
+                out_metrics["next_clip_norm"] = metrics["next_clip_norm"]
+                out_metrics["clip_fraction"] = metrics["clip_fraction"]
             if uplink_kind != "none":
                 out_metrics["uplink_ef_norm"] = metrics["uplink_ef_norm"]
             return new_global, ef_out, out_metrics
@@ -805,7 +874,7 @@ class FederatedRoundEngine:
                     "Privacy budget exhausted — cannot run another DP round"
                 )
 
-        new_global, self.uplink_error, metrics = self._superstep(
+        step_args = (
             self.global_variables,
             jnp.asarray(self.round_number, jnp.int32),
             jnp.asarray(mask, jnp.float32),
@@ -815,6 +884,10 @@ class FederatedRoundEngine:
             self.data.num_samples,
             self.uplink_error,
         )
+        if cfg.adaptive_clipping:
+            step_args = step_args + (
+                jnp.asarray(self.clip_norm, jnp.float32),)
+        new_global, self.uplink_error, metrics = self._superstep(*step_args)
         if self._server_update is not None:
             # adaptive server step on the pseudo-gradient x_t - fedavg(x)
             # (params only; batch_stats keep the FedAvg result)
@@ -827,6 +900,10 @@ class FederatedRoundEngine:
             new_global = dict(new_global)
             new_global["params"] = new_params
         self.global_variables = new_global
+        round_clip = None
+        if cfg.adaptive_clipping:
+            round_clip = self.clip_norm  # the C this round actually used
+            self.clip_norm = float(metrics["next_clip_norm"])
 
         if (cfg.dp_mode in ("dp_sgd", "client_dp")
                 and self.rdp_accountant is not None):
@@ -838,7 +915,8 @@ class FederatedRoundEngine:
             eps_spent = total_eps - before
             self.accountant.add_mechanism(
                 "subsampled_gaussian", eps_spent, 0.0,
-                sensitivity=self.privacy.max_grad_norm,
+                sensitivity=(round_clip if round_clip is not None
+                             else self.privacy.max_grad_norm),
                 noise_scale=float(metrics.get("dp_sigma_mean", 0.0))
                 if cfg.dp_mode == "client_dp"
                 else (self.privacy.noise_multiplier
@@ -889,6 +967,7 @@ class FederatedRoundEngine:
             participating_clients=int(mask.sum()),
             round_time_s=time.perf_counter() - t0,
             epsilon_spent=eps_spent,
+            clip_norm=round_clip,
         )
         self.history.append(result)
         self.round_number += 1
@@ -955,6 +1034,11 @@ class FederatedRoundEngine:
                 "run_rounds_fused does not support a server optimizer "
                 "(its state lives on the host between rounds); use "
                 "run_round / run"
+            )
+        if cfg.adaptive_clipping:
+            raise ValueError(
+                "run_rounds_fused does not support adaptive_clipping (the "
+                "clip norm is host-carried round state); use run_round / run"
             )
         if masks is None:
             masks = np.stack([self.sample_participation()
