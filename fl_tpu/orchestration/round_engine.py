@@ -127,6 +127,12 @@ class RoundEngineConfig:
     clip_quantile: float = 0.5    # γ: target quantile of client delta norms
     clip_lr: float = 0.2          # η_C: geometric-update learning rate
     clip_count_stddev: Optional[float] = None  # σ_b; default m̄/20 (paper §5)
+    # privacy-audit injection (client_dp only): lets designated clients
+    # submit an EXPLICIT delta in place of their trained one, flowing
+    # through the production clip→aggregate→noise path unchanged. Used by
+    # fl_tpu.validation.audit to run update-canary membership audits
+    # (Steinke et al. 2023) against the very superstep production runs.
+    audit_injection: bool = False
 
 
 @dataclasses.dataclass
@@ -258,6 +264,12 @@ class FederatedRoundEngine:
             dp.adaptive_clip_delta_multiplier(
                 self.privacy.noise_multiplier, self._clip_count_stddev)
             self.clip_norm = float(self.privacy.max_grad_norm)
+
+        if config.audit_injection and config.dp_mode != "client_dp":
+            raise ValueError(
+                "audit_injection replaces client deltas ahead of the "
+                "central clip and requires dp_mode='client_dp'")
+        self._zero_injection = None  # built lazily on first run_round
 
         self._augment_fn = augment_fn
         self._built_homogeneous: Optional[bool] = None
@@ -441,6 +453,10 @@ class FederatedRoundEngine:
             in_specs = (rep, rep, csh, csh, csh, csh, csh, csh)
             if cfg_.adaptive_clipping:
                 in_specs = in_specs + (rep,)
+            if cfg_.audit_injection:
+                # flags (C,) + injected-delta pytree, both client-sharded
+                # (a single spec acts as a pytree prefix)
+                in_specs = in_specs + (csh, csh)
             self._superstep = jax.jit(jax.shard_map(
                 fn, mesh=self.mesh,
                 in_specs=in_specs,
@@ -519,9 +535,18 @@ class FederatedRoundEngine:
             num_samples: jax.Array,
             ef_state: jax.Array,           # (C, D) uplink error feedback
                                            # ((C, 1) dummy when disabled)
-            clip_norm=None,                # scalar f32, only when
-                                           # adaptive_clipping is on
+            *extra,                        # [clip_norm] if adaptive_clipping
+                                           # + [inject_flags, inject_deltas]
+                                           # if audit_injection
         ):
+            ei = 0
+            clip_norm = None
+            if adaptive:
+                clip_norm = extra[ei]
+                ei += 1
+            inject_flags = inject_deltas = None
+            if cfg.audit_injection:
+                inject_flags, inject_deltas = extra[ei], extra[ei + 1]
             if axis is None:
                 keys = prng.client_round_keys(self._root_key, round_idx, C)
             else:
@@ -616,6 +641,16 @@ class FederatedRoundEngine:
                 deltas = jax.tree.map(
                     lambda c, g: c - g[None], new_stacked, global_vars
                 )
+                if cfg.audit_injection:
+                    # audit canaries: replace flagged clients' deltas with
+                    # the injected ones BEFORE the clip — the canary is a
+                    # client like any other from the mechanism's viewpoint
+                    deltas = jax.tree.map(
+                        lambda d, inj: jnp.where(
+                            inject_flags.reshape(
+                                (CL,) + (1,) * (d.ndim - 1)) > 0,
+                            inj.astype(d.dtype), d),
+                        deltas, inject_deltas)
                 cn = clip_norm if adaptive else max_norm
                 clipped, pre_norms = dp.clip_client_deltas(deltas, cn)
                 # m̄ uses the GLOBAL expected participant count q·N even
@@ -831,6 +866,8 @@ class FederatedRoundEngine:
         self,
         mask: Optional[np.ndarray] = None,
         evaluate: bool = True,
+        inject_flags: Optional[np.ndarray] = None,
+        inject_deltas=None,
     ) -> RoundResult:
         """Execute one FedAvg round (superstep + host bookkeeping)."""
         cfg = self.config
@@ -887,6 +924,22 @@ class FederatedRoundEngine:
         if cfg.adaptive_clipping:
             step_args = step_args + (
                 jnp.asarray(self.clip_norm, jnp.float32),)
+        if cfg.audit_injection:
+            if inject_flags is None:
+                if self._zero_injection is None:
+                    self._zero_injection = (
+                        jnp.zeros((self.num_clients,), jnp.float32),
+                        jax.tree.map(
+                            lambda x: jnp.zeros(
+                                (self.num_clients,) + x.shape, x.dtype),
+                            self.global_variables))
+                step_args = step_args + self._zero_injection
+            else:
+                step_args = step_args + (
+                    jnp.asarray(inject_flags, jnp.float32), inject_deltas)
+        elif inject_flags is not None:
+            raise ValueError(
+                "inject_flags passed but config.audit_injection is off")
         new_global, self.uplink_error, metrics = self._superstep(*step_args)
         if self._server_update is not None:
             # adaptive server step on the pseudo-gradient x_t - fedavg(x)
@@ -1039,6 +1092,11 @@ class FederatedRoundEngine:
             raise ValueError(
                 "run_rounds_fused does not support adaptive_clipping (the "
                 "clip norm is host-carried round state); use run_round / run"
+            )
+        if cfg.audit_injection:
+            raise ValueError(
+                "run_rounds_fused does not support audit_injection (canary "
+                "deltas are per-round host inputs); use run_round / run"
             )
         if masks is None:
             masks = np.stack([self.sample_participation()

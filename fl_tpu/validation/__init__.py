@@ -15,3 +15,7 @@ from fl_tpu.validation.performance_validator import (  # noqa: F401
     PerformanceRequirements,
     PerformanceValidator,
 )
+from fl_tpu.validation.audit import (  # noqa: F401
+    empirical_epsilon_lower_bound,
+    run_client_membership_audit,
+)
