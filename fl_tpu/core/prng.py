@@ -31,6 +31,7 @@ class Stream(enum.IntEnum):
     AUGMENT = 5
     EVAL = 6
     SECURE_AGG = 7
+    PERSONALIZE = 8
 
 
 def root_key(seed: int) -> jax.Array:

@@ -42,6 +42,10 @@ from fl_tpu.fl.privacy import (  # noqa: F401
     make_ghost_dp_sgd_grad_fn,
     model_supports_ghost_dp,
 )
+from fl_tpu.fl.personalization import (  # noqa: F401
+    evaluate_personalization,
+    make_personalization_fn,
+)
 from fl_tpu.fl.privacy_config import (  # noqa: F401
     PrivacyConfigManager,
     PrivacyLevel,

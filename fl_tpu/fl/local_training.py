@@ -163,10 +163,13 @@ def make_optimizer(cfg: FederatedTrainingConfig) -> optax.GradientTransformation
     raise ValueError(f"Unknown optimizer: {cfg.optimizer_type}")
 
 
-def cross_entropy_loss(logits: jax.Array, labels: jax.Array) -> jax.Array:
-    """Mean softmax cross-entropy (ref uses nn.CrossEntropyLoss,
-    training.py:56)."""
-    return optax.softmax_cross_entropy_with_integer_labels(logits, labels).mean()
+def cross_entropy_loss(logits: jax.Array, labels: jax.Array,
+                       reduce: bool = True) -> jax.Array:
+    """Softmax cross-entropy, mean-reduced by default (ref uses
+    nn.CrossEntropyLoss, training.py:56); ``reduce=False`` returns the
+    per-example vector (for masked means over padded shards)."""
+    per = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
+    return per.mean() if reduce else per
 
 
 def make_local_train_fn(

@@ -1249,6 +1249,17 @@ class FederatedRoundEngine:
         return {k: np.asarray(v).tolist() if np.ndim(v) else float(v)
                 for k, v in ev.items()}
 
+    def evaluate_personalized(
+        self, finetune_epochs: int = 1, finetune_fraction: float = 0.8,
+    ) -> Dict[str, Any]:
+        """Per-client fine-tune gain on held-out shard tails — one vmapped
+        program over all clients (see fl_tpu.fl.personalization)."""
+        from fl_tpu.fl.personalization import evaluate_personalization
+
+        return evaluate_personalization(
+            self, finetune_epochs=finetune_epochs,
+            finetune_fraction=finetune_fraction)
+
     def get_model_weights(self) -> Dict[str, jax.Array]:
         return self.model.get_model_weights(self.global_variables)
 
