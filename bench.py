@@ -134,6 +134,11 @@ def main() -> None:
             # BENCH_OPT_STATE_DTYPE= (empty) reverts for A/B runs.
             optimizer_state_dtype=os.environ.get(
                 "BENCH_OPT_STATE_DTYPE", "bfloat16") or None,
+            # bf16-stored per-client params with unbiased stochastic
+            # rounding (fl_tpu.ops.rounding) halve the param-tree HBM
+            # traffic of fwd/dgrad/Adam. BENCH_PARAM_DTYPE= reverts.
+            param_storage_dtype=os.environ.get(
+                "BENCH_PARAM_DTYPE", "") or None,
         ),
         dp_mode="delta",
         privacy=PrivacyConfig(epsilon=1.0, delta=1e-5, max_grad_norm=1.0),

@@ -32,6 +32,7 @@ class Stream(enum.IntEnum):
     EVAL = 6
     SECURE_AGG = 7
     PERSONALIZE = 8
+    ROUNDING = 9
 
 
 def root_key(seed: int) -> jax.Array:

@@ -33,6 +33,7 @@ import optax
 
 from fl_tpu.core import prng
 from fl_tpu.models.base import FLModel, Variables
+from fl_tpu.ops.rounding import stochastic_round_tree_bf16
 
 
 @dataclasses.dataclass(frozen=True)
@@ -61,6 +62,18 @@ class FederatedTrainingConfig:
     # re-initialized every round and lives ~steps_per_round Adam steps,
     # far too few for bf16 EMA granularity loss (1-b2 < 2^-8) to bite.
     optimizer_state_dtype: Optional[str] = None
+    # Storage dtype for the per-client param trees carried through the
+    # local scan ("bfloat16" | None=f32). The C-replicated params are
+    # read by fwd + dgrad and read+written by the Adam fusion every step;
+    # bf16 storage halves that traffic. All arithmetic stays f32 (the
+    # carried tree is upcast at step entry; XLA folds the bf16->f32->bf16
+    # chain the compute-dtype cast would otherwise add), and the
+    # f32 Adam result is written back with UNBIASED stochastic rounding
+    # (fl_tpu.ops.rounding) so sub-ULP updates survive in expectation.
+    # The external contract is unchanged: clients still return f32
+    # params, and in DP mode rounding is post-processing of the already
+    # clipped+noised gradients, so the (eps, delta) guarantee is intact.
+    param_storage_dtype: Optional[str] = None
 
     def to_dict(self) -> Dict[str, Any]:
         return dataclasses.asdict(self)
@@ -215,6 +228,11 @@ def make_local_train_fn(
     batch = cfg.batch_size
     steps_per_epoch = max(1, samples_per_client // batch)
     optimizer = make_optimizer(cfg)
+    if cfg.param_storage_dtype not in (None, "bfloat16"):
+        raise ValueError(
+            f"param_storage_dtype must be None or 'bfloat16', got "
+            f"{cfg.param_storage_dtype!r}")
+    store_bf16 = cfg.param_storage_dtype == "bfloat16"
     mean = jnp.asarray(mean, jnp.float32)
     std = jnp.asarray(std, jnp.float32)
 
@@ -262,6 +280,10 @@ def make_local_train_fn(
             def take_images(idx):
                 return jnp.take(images_u8, idx, axis=0)
         opt_state = optimizer.init(params)
+        if store_bf16:
+            srk = prng.stream_key(rng, prng.Stream.ROUNDING)
+            sr_seed0 = (srk[0] ^ srk[1]).astype(jnp.uint32)
+            params = jax.tree.map(lambda p: p.astype(jnp.bfloat16), params)
         shuffle_key = prng.stream_key(rng, prng.Stream.SHUFFLE)
         dropout_key = prng.stream_key(rng, prng.Stream.DROPOUT)
         augment_key = prng.stream_key(rng, prng.Stream.AUGMENT)
@@ -277,6 +299,9 @@ def make_local_train_fn(
 
             def step_body(carry, step_idx):
                 params, extra, opt_state = carry
+                # f32 view for all arithmetic; storage may be bf16
+                p32 = (jax.tree.map(lambda p: p.astype(jnp.float32), params)
+                       if store_bf16 else params)
                 idx = jax.lax.dynamic_slice(perm, (step_idx * batch,), (batch,))
                 xb = normalize(take_images(idx))
                 yb = jnp.take(labels, idx, axis=0)
@@ -290,7 +315,7 @@ def make_local_train_fn(
                 )
                 if dp_sgd_fn is None:
                     (loss, (acc, new_extra)), grads = grad_fn(
-                        params, extra, xb, yb, dkey
+                        p32, extra, xb, yb, dkey
                     )
                 else:
                     # metrics come from a forward pass only — the plain
@@ -298,7 +323,7 @@ def make_local_train_fn(
                     # recomputes with per-example clipping), so don't pay
                     # its backward
                     loss, (acc, new_extra) = loss_fn(
-                        params, extra, xb, yb, dkey
+                        p32, extra, xb, yb, dkey
                     )
                     # DP-SGD batches must NOT remap padded slots onto real
                     # examples — a duplicated example would participate in
@@ -314,7 +339,7 @@ def make_local_train_fn(
                     )
                     wmask = (idx_raw < n).astype(jnp.float32)
                     grads = dp_sgd_fn(
-                        None, params, extra, xb, yb, wmask, dkey,
+                        None, p32, extra, xb, yb, wmask, dkey,
                         jax.random.fold_in(
                             prng.stream_key(rng, prng.Stream.DP_NOISE),
                             epoch_idx * steps_per_epoch + step_idx,
@@ -327,9 +352,14 @@ def make_local_train_fn(
                     # clipped+noised gradient does not change sensitivity.
                     grads = jax.tree.map(
                         lambda g, p, gp: g + mu * (p - gp),
-                        grads, params, global_params)
-                updates, new_opt = optimizer.update(grads, opt_state, params)
-                new_params = optax.apply_updates(params, updates)
+                        grads, p32, global_params)
+                updates, new_opt = optimizer.update(grads, opt_state, p32)
+                new_params = optax.apply_updates(p32, updates)
+                if store_bf16:
+                    ctr = (epoch_idx * steps_per_epoch
+                           + step_idx).astype(jnp.uint32)
+                    new_params = stochastic_round_tree_bf16(
+                        new_params, sr_seed0 + ctr * jnp.uint32(0x9E3779B9))
                 if homogeneous_epochs:
                     params, extra, opt_state = new_params, new_extra, new_opt
                 else:
@@ -354,6 +384,8 @@ def make_local_train_fn(
         (params, extra, opt_state), (ep_loss, ep_acc) = jax.lax.scan(
             epoch_body, (params, extra0, opt_state), jnp.arange(max_epochs)
         )
+        if store_bf16:  # external contract: clients return f32 params
+            params = jax.tree.map(lambda p: p.astype(jnp.float32), params)
         # report metrics of the last *active* epoch
         last = jnp.clip(epochs - 1, 0, max_epochs - 1)
         metrics = {
