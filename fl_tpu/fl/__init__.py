@@ -46,6 +46,10 @@ from fl_tpu.fl.personalization import (  # noqa: F401
     evaluate_personalization,
     make_personalization_fn,
 )
+from fl_tpu.fl.scaffold import (  # noqa: F401
+    scaffold_correction,
+    scaffold_update,
+)
 from fl_tpu.fl.privacy_config import (  # noqa: F401
     PrivacyConfigManager,
     PrivacyLevel,

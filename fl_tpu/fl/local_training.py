@@ -195,6 +195,7 @@ def make_local_train_fn(
     augment_fn: Optional[Callable] = None,
     dp_sgd_fn: Optional[Callable] = None,
     homogeneous_epochs: bool = False,
+    scaffold: bool = False,
 ) -> Callable:
     """Build the single-client local-training function.
 
@@ -209,7 +210,10 @@ def make_local_train_fn(
     - ``rng``: per-client, per-round PRNG key
 
     vmap this over the leading client axis of every argument to get the
-    whole-population trainer. ``dp_sgd_fn``, when given, replaces the
+    whole-population trainer. With ``scaffold=True`` the function takes a
+    seventh argument ``correction`` (a params-shaped f32 tree, the
+    client's SCAFFOLD control-variate correction ``c - c_i``) added to
+    every step's gradient (fl_tpu.fl.scaffold). ``dp_sgd_fn``, when given, replaces the
     per-step gradient with a per-example-clipped noised one (see
     fl_tpu.fl.privacy); its first argument receives None — the plain batch
     gradient is never computed in DP mode (metrics come from a
@@ -253,7 +257,11 @@ def make_local_train_fn(
 
     mu = float(cfg.proximal_mu)
 
-    def local_train(variables, images_u8, labels, n_valid, epochs, rng):
+    def local_train(variables, images_u8, labels, n_valid, epochs, rng,
+                    correction=None):
+        if scaffold and correction is None:
+            raise TypeError("scaffold=True local_train needs the "
+                            "correction argument")
         params = variables["params"]
         global_params = params  # round-start global model (FedProx anchor)
         extra0 = {k: v for k, v in variables.items() if k != "params"}
@@ -345,6 +353,13 @@ def make_local_train_fn(
                             epoch_idx * steps_per_epoch + step_idx,
                         ),
                     )
+                if scaffold:
+                    # SCAFFOLD control-variate correction c - c_i
+                    # (constant over the round, added to every step's
+                    # gradient — Karimireddy et al. 2020 Alg. 1 line 10)
+                    grads = jax.tree.map(
+                        lambda g, cc: g + cc.astype(g.dtype),
+                        grads, correction)
                 if mu > 0.0:
                     # FedProx proximal gradient μ·(w − w_global): exactly
                     # the gradient of (μ/2)·‖w − w_global‖². Data-

@@ -137,6 +137,14 @@ def save_engine_checkpoint(engine, directory: str) -> Path:
         mgr._ckpt.save(path / "uplink_error", {"ef": engine.uplink_error},
                        force=True)
         mgr._ckpt.wait_until_finished()
+    if engine.config.scaffold:
+        # SCAFFOLD control variates are round state: resuming without
+        # them restarts drift correction cold AND breaks the
+        # mean(c_i) == c invariant the algorithm maintains
+        mgr._ckpt.save(path / "scaffold",
+                       {"c": engine.scaffold_c, "ci": engine.scaffold_ci},
+                       force=True)
+        mgr._ckpt.wait_until_finished()
     return path
 
 
@@ -159,6 +167,11 @@ def restore_engine_checkpoint(engine, directory: str,
     if ef_dir.exists() and engine.config.uplink_compression != "none":
         engine.uplink_error = mgr._ckpt.restore(
             ef_dir, {"ef": engine.uplink_error})["ef"]
+    sc_dir = mgr._step_dir(state["round_number"]) / "scaffold"
+    if sc_dir.exists() and engine.config.scaffold:
+        sc = mgr._ckpt.restore(
+            sc_dir, {"c": engine.scaffold_c, "ci": engine.scaffold_ci})
+        engine.scaffold_c, engine.scaffold_ci = sc["c"], sc["ci"]
     hs = state["host_state"]
     if "privacy_budget" in hs and engine.budget_tracker is not None:
         engine.budget_tracker.load_state_dict(hs["privacy_budget"])

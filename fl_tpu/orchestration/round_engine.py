@@ -133,6 +133,13 @@ class RoundEngineConfig:
     # fl_tpu.validation.audit to run update-canary membership audits
     # (Steinke et al. 2023) against the very superstep production runs.
     audit_injection: bool = False
+    # SCAFFOLD control variates (Karimireddy et al. 2020, fl.scaffold):
+    # corrects client drift by adding (c - c_i) to every local SGD step's
+    # gradient. Requires plain SGD local steps (Option II identity),
+    # dp_mode="none", and no secure aggregation. Control state is a
+    # (C, D) client-sharded matrix + (D,) replicated vector, carried
+    # across rounds and checkpointed like the uplink EF state.
+    scaffold: bool = False
 
 
 @dataclasses.dataclass
@@ -271,6 +278,26 @@ class FederatedRoundEngine:
                 "central clip and requires dp_mode='client_dp'")
         self._zero_injection = None  # built lazily on first run_round
 
+        if config.scaffold:
+            t = config.training
+            if t.optimizer_type != "sgd" or t.momentum != 0.0:
+                raise ValueError(
+                    "scaffold requires plain SGD local steps "
+                    "(optimizer_type='sgd', momentum=0.0): Option II "
+                    "recovers c_i+ from the exact SGD trajectory identity "
+                    "(w_g - w_local)/(K*lr) = avg corrected gradient")
+            if config.dp_mode != "none":
+                raise ValueError(
+                    "scaffold control variates are exact functions of raw "
+                    "local trajectories and are not privatized; composing "
+                    "SCAFFOLD with DP would require privatizing the c_i "
+                    "updates too (not implemented) — use dp_mode='none'")
+            if config.secure_aggregation:
+                raise ValueError(
+                    "scaffold forms per-client c_i from individual deltas, "
+                    "which secure aggregation is designed to hide from the "
+                    "server")
+
         self._augment_fn = augment_fn
         self._built_homogeneous: Optional[bool] = None
         self._build_pipeline()
@@ -319,6 +346,18 @@ class FederatedRoundEngine:
         if mesh is not None:
             ef = jax.device_put(ef, self._client_sh)
         self.uplink_error = ef
+        # SCAFFOLD control-variate state: server c (D,) replicated +
+        # client c_i (C, D) client-sharded; zero-init (paper Alg. 1), so
+        # the mean(c_i) == c invariant holds from round 0
+        sc_d = (padded_dim(flat_dim(self.global_variables["params"],
+                                    batched=False))
+                if config.scaffold else 1)
+        sc_c = jnp.zeros((sc_d,), jnp.float32)
+        sc_ci = jnp.zeros((self.num_clients, sc_d), jnp.float32)
+        if mesh is not None:
+            sc_c = jax.device_put(sc_c, self._rep_sh)
+            sc_ci = jax.device_put(sc_ci, self._client_sh)
+        self.scaffold_c, self.scaffold_ci = sc_c, sc_ci
         self.history: List[RoundResult] = []
         self.detector = ConvergenceDetector()
         self._fused_rounds_fn = None
@@ -418,6 +457,7 @@ class FederatedRoundEngine:
             augment_fn=self._augment_fn,
             dp_sgd_fn=dp_sgd_fn,
             homogeneous_epochs=homogeneous,
+            scaffold=config.scaffold,
         )
         self._built_homogeneous = homogeneous
 
@@ -457,10 +497,14 @@ class FederatedRoundEngine:
                 # flags (C,) + injected-delta pytree, both client-sharded
                 # (a single spec acts as a pytree prefix)
                 in_specs = in_specs + (csh, csh)
+            if cfg_.scaffold:
+                in_specs = in_specs + (rep, csh)  # c (D,), c_i (C, D)
+            out_specs = ((rep, csh, (rep, csh), mspec) if cfg_.scaffold
+                         else (rep, csh, mspec))
             self._superstep = jax.jit(jax.shard_map(
                 fn, mesh=self.mesh,
                 in_specs=in_specs,
-                out_specs=(rep, csh, mspec),
+                out_specs=out_specs,
                 check_vma=False,
             ))
         else:
@@ -519,6 +563,9 @@ class FederatedRoundEngine:
 
         uplink_kind = cfg.uplink_compression
         adaptive = cfg.adaptive_clipping
+        scaffold = cfg.scaffold
+        steps_per_epoch = max(
+            1, self.data.samples_per_client // cfg.training.batch_size)
         # z_Δ: inflated aggregate noise so the count release is free w.r.t.
         # the accountant (Andrew et al. 2021 Thm 1; host-computed constant)
         z_delta = (dp.adaptive_clip_delta_multiplier(
@@ -538,6 +585,8 @@ class FederatedRoundEngine:
             *extra,                        # [clip_norm] if adaptive_clipping
                                            # + [inject_flags, inject_deltas]
                                            # if audit_injection
+                                           # + [scaffold_c, scaffold_ci]
+                                           # if scaffold
         ):
             ei = 0
             clip_norm = None
@@ -547,6 +596,11 @@ class FederatedRoundEngine:
             inject_flags = inject_deltas = None
             if cfg.audit_injection:
                 inject_flags, inject_deltas = extra[ei], extra[ei + 1]
+                ei += 2
+            sc_c = sc_ci = None
+            if scaffold:
+                sc_c, sc_ci = extra[ei], extra[ei + 1]
+                ei += 2
             if axis is None:
                 keys = prng.client_round_keys(self._root_key, round_idx, C)
             else:
@@ -564,9 +618,37 @@ class FederatedRoundEngine:
                 global_vars
             )
 
-            new_stacked, metrics = jax.vmap(local_train)(
-                stacked, images, labels, num_samples, epochs, keys
-            )
+            if scaffold:
+                from fl_tpu.fl.scaffold import (
+                    scaffold_correction,
+                    scaffold_update,
+                )
+                from fl_tpu.ops.flatten import stack_flatten
+
+                # spec of the stacked f32 params tree (static metadata;
+                # the probe matrix itself is dead code XLA removes)
+                _, sc_spec = stack_flatten(jax.tree.map(
+                    lambda g: jnp.broadcast_to(
+                        g[None].astype(jnp.float32), (CL,) + g.shape),
+                    global_vars["params"]))
+                corr = scaffold_correction(sc_c, sc_ci, sc_spec)
+                new_stacked, metrics = jax.vmap(local_train)(
+                    stacked, images, labels, num_samples, epochs, keys, corr
+                )
+                # control-variate update from the RAW local trajectory
+                # (before any uplink-compression distortion of the
+                # transmitted delta — Option II is a trajectory identity)
+                d_mat, _ = stack_flatten(jax.tree.map(
+                    lambda c, g: (c - g[None]).astype(jnp.float32),
+                    new_stacked["params"], global_vars["params"]))
+                k_steps = epochs.astype(jnp.float32) * steps_per_epoch
+                sc_c_out, sc_ci_out = scaffold_update(
+                    sc_c, sc_ci, d_mat, mask, k_steps,
+                    cfg.training.learning_rate, C, psum_)
+            else:
+                new_stacked, metrics = jax.vmap(local_train)(
+                    stacked, images, labels, num_samples, epochs, keys
+                )
 
             if dp_mode == "delta":
                 # reference semantics (federated_trainer.py:428-469):
@@ -785,6 +867,8 @@ class FederatedRoundEngine:
                 out_metrics["clip_fraction"] = metrics["clip_fraction"]
             if uplink_kind != "none":
                 out_metrics["uplink_ef_norm"] = metrics["uplink_ef_norm"]
+            if scaffold:
+                return new_global, ef_out, (sc_c_out, sc_ci_out), out_metrics
             return new_global, ef_out, out_metrics
 
         return superstep
@@ -940,7 +1024,14 @@ class FederatedRoundEngine:
         elif inject_flags is not None:
             raise ValueError(
                 "inject_flags passed but config.audit_injection is off")
-        new_global, self.uplink_error, metrics = self._superstep(*step_args)
+        if cfg.scaffold:
+            step_args = step_args + (self.scaffold_c, self.scaffold_ci)
+            (new_global, self.uplink_error,
+             (self.scaffold_c, self.scaffold_ci),
+             metrics) = self._superstep(*step_args)
+        else:
+            new_global, self.uplink_error, metrics = \
+                self._superstep(*step_args)
         if self._server_update is not None:
             # adaptive server step on the pseudo-gradient x_t - fedavg(x)
             # (params only; batch_stats keep the FedAvg result)
@@ -1082,6 +1173,11 @@ class FederatedRoundEngine:
         shape for throughput benchmarking (BASELINE config #5).
         """
         cfg = self.config
+        if cfg.scaffold:
+            raise ValueError(
+                "run_rounds_fused does not support scaffold (the control-"
+                "variate state is carried on the host between rounds); "
+                "use run_round / run")
         if self._server_opt is not None:
             raise ValueError(
                 "run_rounds_fused does not support a server optimizer "
