@@ -46,6 +46,12 @@ from fl_tpu.fl.personalization import (  # noqa: F401
     evaluate_personalization,
     make_personalization_fn,
 )
+from fl_tpu.fl.dp_ftrl import (  # noqa: F401
+    calibrate_noise_multiplier,
+    gaussian_epsilon,
+    rotation_mask,
+    tree_height,
+)
 from fl_tpu.fl.scaffold import (  # noqa: F401
     scaffold_correction,
     scaffold_update,

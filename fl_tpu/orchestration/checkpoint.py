@@ -137,6 +137,18 @@ def save_engine_checkpoint(engine, directory: str) -> Path:
         mgr._ckpt.save(path / "uplink_error", {"ef": engine.uplink_error},
                        force=True)
         mgr._ckpt.wait_until_finished()
+    if engine.config.dp_mode == "dp_ftrl":
+        # the true prefix sum, last released noisy prefix, and momentum
+        # are the mechanism state; the participation ledger enforces the
+        # certified per-client budget k — losing either on resume breaks
+        # the DP guarantee or the trajectory
+        mgr._ckpt.save(path / "dp_ftrl",
+                       {"cumsum": engine.ftrl_cumsum,
+                        "prev_noisy": engine.ftrl_prev_noisy,
+                        "momentum": engine.ftrl_momentum_buf,
+                        "participations": engine.ftrl_participations},
+                       force=True)
+        mgr._ckpt.wait_until_finished()
     if engine.config.scaffold:
         # SCAFFOLD control variates are round state: resuming without
         # them restarts drift correction cold AND breaks the
@@ -167,6 +179,17 @@ def restore_engine_checkpoint(engine, directory: str,
     if ef_dir.exists() and engine.config.uplink_compression != "none":
         engine.uplink_error = mgr._ckpt.restore(
             ef_dir, {"ef": engine.uplink_error})["ef"]
+    ftrl_dir = mgr._step_dir(state["round_number"]) / "dp_ftrl"
+    if ftrl_dir.exists() and engine.config.dp_mode == "dp_ftrl":
+        st = mgr._ckpt.restore(
+            ftrl_dir, {"cumsum": engine.ftrl_cumsum,
+                       "prev_noisy": engine.ftrl_prev_noisy,
+                       "momentum": engine.ftrl_momentum_buf,
+                       "participations": engine.ftrl_participations})
+        engine.ftrl_cumsum = st["cumsum"]
+        engine.ftrl_prev_noisy = st["prev_noisy"]
+        engine.ftrl_momentum_buf = st["momentum"]
+        engine.ftrl_participations = np.asarray(st["participations"])
     sc_dir = mgr._step_dir(state["round_number"]) / "scaffold"
     if sc_dir.exists() and engine.config.scaffold:
         sc = mgr._ckpt.restore(

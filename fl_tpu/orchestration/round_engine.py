@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import dataclasses
 import logging
+import math
 import time
 from typing import Any, Callable, Dict, List, Optional, Tuple
 
@@ -133,6 +134,17 @@ class RoundEngineConfig:
     # fl_tpu.validation.audit to run update-canary membership audits
     # (Steinke et al. 2023) against the very superstep production runs.
     audit_injection: bool = False
+    # DP-FTRL (Kairouz et al. 2021, fl.dp_ftrl): dp_mode="dp_ftrl" gives
+    # client-level DP for ARBITRARY participation patterns (no Poisson
+    # sampling assumption) via binary-tree noisy prefix sums. privacy.
+    # noise_multiplier is the effective Gaussian multiplier z of the
+    # whole-transcript release; ε is certified once up front
+    # (gaussian_epsilon(z, δ)) and must fit privacy.epsilon.
+    ftrl_rounds: Optional[int] = None     # T_max: tree size (required)
+    ftrl_max_participations: int = 1      # k: per-client round budget
+    ftrl_momentum: float = 0.9            # β of DP-FTRLM (0 = plain)
+    ftrl_cohort_size: Optional[int] = None  # m̄; default q*N rounded
+    ftrl_server_lr: float = 1.0           # η of the FTRL server step
     # SCAFFOLD control variates (Karimireddy et al. 2020, fl.scaffold):
     # corrects client drift by adding (c - c_i) to every local SGD step's
     # gradient. Requires plain SGD local steps (Option II identity),
@@ -205,9 +217,16 @@ class FederatedRoundEngine:
             raise ValueError(
                 f"uplink_compression={config.uplink_compression!r} not in "
                 f"{UPLINK_KINDS}")
-        if config.uplink_compression != "none" and config.dp_mode == "client_dp":
+        if config.dp_mode not in ("none", "delta", "dp_sgd", "client_dp",
+                                  "dp_ftrl"):
             raise ValueError(
-                "uplink compression cannot compose with client_dp: the "
+                f"dp_mode={config.dp_mode!r} not in ('none', 'delta', "
+                "'dp_sgd', 'client_dp', 'dp_ftrl')")
+        if config.uplink_compression != "none" \
+                and config.dp_mode in ("client_dp", "dp_ftrl"):
+            raise ValueError(
+                "uplink compression cannot compose with client_dp/dp_ftrl: "
+                "the "
                 "central clip runs after reconstruction, so clipped-off "
                 "mass would never return to the error-feedback residual "
                 "(breaking EF's nothing-lost-only-delayed guarantee)")
@@ -220,11 +239,11 @@ class FederatedRoundEngine:
                 raise ValueError(
                     "robust aggregation needs the server to see real "
                     "updates; it cannot compose with secure_aggregation")
-            if config.dp_mode == "client_dp":
+            if config.dp_mode in ("client_dp", "dp_ftrl"):
                 raise ValueError(
-                    "client_dp owns its aggregation (clipped uniform mean "
-                    "+ central noise); robust aggregation applies to the "
-                    "other dp modes")
+                    "client_dp/dp_ftrl own their aggregation (clipped sum "
+                    "+ calibrated noise); robust aggregation applies to "
+                    "the other dp modes")
             min_participants = int(np.floor(
                 config.participation_rate * self.num_clients))
             if (config.aggregation == "trimmed_mean"
@@ -250,6 +269,47 @@ class FederatedRoundEngine:
             from fl_tpu.fl.accounting import RDPAccountant
 
             self.rdp_accountant = RDPAccountant()
+
+        # DP-FTRL setup: certify the whole-transcript ε up front and
+        # freeze the tree geometry (sensitivity depends on T_max and k)
+        self._ftrl_eps_total = None
+        if config.dp_mode == "dp_ftrl":
+            from fl_tpu.fl import dp_ftrl as ftrl
+
+            if config.ftrl_rounds is None or config.ftrl_rounds < 1:
+                raise ValueError(
+                    "dp_mode='dp_ftrl' requires ftrl_rounds (T_max): the "
+                    "tree height — and with it the calibrated node noise "
+                    "— is fixed before round 0")
+            if config.server_optimizer != "none":
+                raise ValueError(
+                    "dp_ftrl owns the server update (FTRL on noisy prefix "
+                    "sums); server_optimizer must be 'none'")
+            if config.secure_aggregation:
+                raise ValueError(
+                    "dp_ftrl + on-chip secure aggregation is not wired "
+                    "yet; use dp_ftrl alone (the wire secagg path is "
+                    "independent)")
+            z = self.privacy.noise_multiplier
+            eps_total = ftrl.gaussian_epsilon(z, self.privacy.delta)
+            if eps_total > self.privacy.epsilon + 1e-9:
+                raise dp.PrivacyError(
+                    f"dp_ftrl at z={z} certifies ε={eps_total:.3f} > "
+                    f"budget ε={self.privacy.epsilon}; raise "
+                    "noise_multiplier (fl_tpu.fl.dp_ftrl."
+                    "calibrate_noise_multiplier gives the smallest "
+                    "sufficient z)")
+            self._ftrl_eps_total = eps_total
+            self._ftrl_height = ftrl.tree_height(config.ftrl_rounds)
+            k = config.ftrl_max_participations
+            self._ftrl_sigma_node = (
+                z * self.privacy.max_grad_norm
+                * math.sqrt(k * self._ftrl_height))
+            self._ftrl_cohort = (
+                config.ftrl_cohort_size
+                if config.ftrl_cohort_size is not None
+                else max(1, round(config.participation_rate
+                                  * self.num_clients)))
 
         # adaptive clipping (Andrew et al. 2021) — client_dp only: the
         # quantile indicator is computed on the centrally-visible pre-clip
@@ -358,6 +418,26 @@ class FederatedRoundEngine:
             sc_c = jax.device_put(sc_c, self._rep_sh)
             sc_ci = jax.device_put(sc_ci, self._client_sh)
         self.scaffold_c, self.scaffold_ci = sc_c, sc_ci
+        # DP-FTRL mechanism state: true clipped-sum prefix, last released
+        # noisy prefix, momentum buffer — all (D,) replicated — plus the
+        # host-side per-client participation ledger enforcing k
+        if config.dp_mode == "dp_ftrl":
+            fd = padded_dim(flat_dim(self.global_variables["params"],
+                                     batched=False))
+            zeros = jnp.zeros((fd,), jnp.float32)
+            if mesh is not None:
+                zeros = jax.device_put(zeros, self._rep_sh)
+            self.ftrl_cumsum = zeros
+            self.ftrl_prev_noisy = zeros
+            self.ftrl_momentum_buf = zeros
+            self.ftrl_participations = np.zeros((self.num_clients,),
+                                                np.int64)
+            if "batch_stats" in self.global_variables:
+                logger.warning(
+                    "dp_ftrl freezes batch_stats at their init values "
+                    "(only params flow through the DP release); prefer a "
+                    "GroupNorm model, e.g. create_model('cifar10_cnn', "
+                    "norm='group')")
         self.history: List[RoundResult] = []
         self.detector = ConvergenceDetector()
         self._fused_rounds_fn = None
@@ -483,7 +563,7 @@ class FederatedRoundEngine:
                 "weight_change_norm": rep, "weight_norm": rep,
                 "client_loss": csh, "client_accuracy": csh,
             }
-            if cfg_.dp_mode in ("delta", "client_dp"):
+            if cfg_.dp_mode in ("delta", "client_dp", "dp_ftrl"):
                 mspec["dp_sigma_mean"] = rep
             if cfg_.adaptive_clipping:
                 mspec["next_clip_norm"] = rep
@@ -499,8 +579,14 @@ class FederatedRoundEngine:
                 in_specs = in_specs + (csh, csh)
             if cfg_.scaffold:
                 in_specs = in_specs + (rep, csh)  # c (D,), c_i (C, D)
-            out_specs = ((rep, csh, (rep, csh), mspec) if cfg_.scaffold
-                         else (rep, csh, mspec))
+            if cfg_.dp_mode == "dp_ftrl":
+                in_specs = in_specs + (rep, rep, rep)
+            if cfg_.scaffold:
+                out_specs = (rep, csh, (rep, csh), mspec)
+            elif cfg_.dp_mode == "dp_ftrl":
+                out_specs = (rep, csh, (rep, rep, rep), mspec)
+            else:
+                out_specs = (rep, csh, mspec)
             self._superstep = jax.jit(jax.shard_map(
                 fn, mesh=self.mesh,
                 in_specs=in_specs,
@@ -564,6 +650,7 @@ class FederatedRoundEngine:
         uplink_kind = cfg.uplink_compression
         adaptive = cfg.adaptive_clipping
         scaffold = cfg.scaffold
+        ftrl_on = dp_mode == "dp_ftrl"
         steps_per_epoch = max(
             1, self.data.samples_per_client // cfg.training.batch_size)
         # z_Δ: inflated aggregate noise so the count release is free w.r.t.
@@ -587,6 +674,8 @@ class FederatedRoundEngine:
                                            # if audit_injection
                                            # + [scaffold_c, scaffold_ci]
                                            # if scaffold
+                                           # + [cumsum, prev_noisy, mom]
+                                           # if dp_mode == "dp_ftrl"
         ):
             ei = 0
             clip_norm = None
@@ -601,6 +690,11 @@ class FederatedRoundEngine:
             if scaffold:
                 sc_c, sc_ci = extra[ei], extra[ei + 1]
                 ei += 2
+            ftrl_cumsum = ftrl_prev_noisy = ftrl_mom = None
+            if ftrl_on:
+                ftrl_cumsum, ftrl_prev_noisy, ftrl_mom = (
+                    extra[ei], extra[ei + 1], extra[ei + 2])
+                ei += 3
             if axis is None:
                 keys = prng.client_round_keys(self._root_key, round_idx, C)
             else:
@@ -776,6 +870,51 @@ class FederatedRoundEngine:
                 if adaptive:
                     metrics = dict(metrics, next_clip_norm=next_cn,
                                    clip_fraction=frac)
+            elif dp_mode == "dp_ftrl":
+                # DP-FTRL (Kairouz et al. 2021): clip each participant's
+                # params-delta to C, psum the masked SUM (no division —
+                # sensitivity is per-leaf), push it into the carried
+                # prefix sum, and take the FTRL(M) server step against
+                # the tree-noised prefix (fl_tpu.fl.dp_ftrl). Tree-node
+                # noise regenerates from a round-independent key, so the
+                # same nodes give the same draws whenever a later prefix
+                # reuses them — and every mesh shard generates identical
+                # (replicated) noise.
+                from fl_tpu.fl import dp_ftrl as ftrl
+                from fl_tpu.ops.flatten import stack_flatten, stack_unflatten
+
+                deltas_p = jax.tree.map(
+                    lambda c, g: (c - g[None]).astype(jnp.float32),
+                    new_stacked["params"], global_vars["params"])
+                clipped, pre_norms = dp.clip_client_deltas(
+                    deltas_p, max_norm)
+                cmat, _ = stack_flatten(clipped)
+                round_sum = psum_(jnp.tensordot(
+                    mask.astype(jnp.float32), cmat, axes=1))
+                pmat, pspec = stack_flatten(jax.tree.map(
+                    lambda g: g[None].astype(jnp.float32),
+                    global_vars["params"]))
+                tree_key = prng.stream_key(self._root_key,
+                                           prng.Stream.DP_NOISE)
+                (new_pflat, ftrl_cumsum_out, ftrl_noisy_out,
+                 ftrl_mom_out) = ftrl.ftrl_server_step(
+                    pmat[0], ftrl_cumsum, ftrl_prev_noisy, ftrl_mom,
+                    round_sum, tree_key,
+                    round_idx.astype(jnp.uint32) + 1,
+                    self._ftrl_sigma_node, self._ftrl_height,
+                    cfg.ftrl_server_lr, float(self._ftrl_cohort),
+                    cfg.ftrl_momentum)
+                new_params = jax.tree.map(
+                    lambda s, g: s[0].astype(g.dtype),
+                    stack_unflatten(new_pflat[None], pspec),
+                    global_vars["params"])
+                new_global = dict(global_vars)
+                new_global["params"] = new_params
+                metrics = dict(
+                    metrics,
+                    dp_sigma=jnp.broadcast_to(
+                        jnp.float32(self._ftrl_sigma_node), (CL,)),
+                    dp_sensitivity=pre_norms)
             else:
                 # FedAvg: sample-weighted, participation-masked;
                 # non-participants contribute the *global* model (delta
@@ -858,7 +997,7 @@ class FederatedRoundEngine:
                 "client_loss": metrics["loss"],
                 "client_accuracy": metrics["accuracy"],
             }
-            if dp_mode in ("delta", "client_dp"):
+            if dp_mode in ("delta", "client_dp", "dp_ftrl"):
                 out_metrics["dp_sigma_mean"] = (
                     psum_(metrics["dp_sigma"].sum()) / C)
             if adaptive:
@@ -869,6 +1008,10 @@ class FederatedRoundEngine:
                 out_metrics["uplink_ef_norm"] = metrics["uplink_ef_norm"]
             if scaffold:
                 return new_global, ef_out, (sc_c_out, sc_ci_out), out_metrics
+            if ftrl_on:
+                return (new_global, ef_out,
+                        (ftrl_cumsum_out, ftrl_noisy_out, ftrl_mom_out),
+                        out_metrics)
             return new_global, ef_out, out_metrics
 
         return superstep
@@ -916,6 +1059,18 @@ class FederatedRoundEngine:
         well-defined (they simply move the model less).
         """
         cfg = self.config
+        if cfg.dp_mode == "dp_ftrl":
+            # deterministic round-robin cohorts — DP-FTRL needs NO
+            # sampling randomness (its guarantee holds for arbitrary
+            # orderings); rotation also maximizes rounds within the
+            # per-client participation budget k
+            from fl_tpu.fl.dp_ftrl import rotation_mask
+
+            mask = rotation_mask(self.num_clients, self.round_number,
+                                 self._ftrl_cohort)
+            if exclude:
+                mask[np.asarray(exclude, int)] = 0.0
+            return mask
         mask = (
             self._np_rng.random(self.num_clients) < cfg.participation_rate
         ).astype(np.float32)
@@ -973,6 +1128,24 @@ class FederatedRoundEngine:
                     f"krum(f={cfg.krum_f}) needs at least f+3="
                     f"{cfg.krum_f + 3} participants; this round realized {m}")
         eps_spent = 0.0
+        if cfg.dp_mode == "dp_ftrl":
+            if self.round_number >= cfg.ftrl_rounds:
+                raise dp.PrivacyError(
+                    f"dp_ftrl tree exhausted: ftrl_rounds={cfg.ftrl_rounds} "
+                    "fixed the tree height and sensitivity; running more "
+                    "rounds would exceed the certified ε. Start a new "
+                    "engine (tree restart) to continue.")
+            would = self.ftrl_participations + (np.asarray(mask) > 0)
+            if int(would.max()) > cfg.ftrl_max_participations:
+                over = np.flatnonzero(
+                    would > cfg.ftrl_max_participations)[:8]
+                raise dp.PrivacyError(
+                    "dp_ftrl participation budget exceeded: clients "
+                    f"{over.tolist()} would pass max_participations="
+                    f"{cfg.ftrl_max_participations}, which the certified "
+                    "sensitivity C*sqrt(k*h) assumed. Use rotation masks "
+                    "(fl_tpu.fl.dp_ftrl.rotation_mask) or raise k (and "
+                    "re-derive the noise).")
         if (cfg.dp_mode in ("dp_sgd", "client_dp")
                 and self.rdp_accountant is not None):
             # project the RDP ε after this round; refuse to overdraw
@@ -987,7 +1160,8 @@ class FederatedRoundEngine:
                     f"round would exceed ε={self.privacy.epsilon} "
                     "(RDP accounting)"
                 )
-        elif self.budget_tracker is not None and cfg.dp_mode != "none":
+        elif (self.budget_tracker is not None
+              and cfg.dp_mode not in ("none", "dp_ftrl")):
             eps_r = cfg.epsilon_per_round or self.privacy.epsilon
             del_r = cfg.delta_per_round or self.privacy.delta
             if self.budget_tracker.is_budget_exhausted(eps_r, del_r):
@@ -1029,6 +1203,14 @@ class FederatedRoundEngine:
             (new_global, self.uplink_error,
              (self.scaffold_c, self.scaffold_ci),
              metrics) = self._superstep(*step_args)
+        elif cfg.dp_mode == "dp_ftrl":
+            step_args = step_args + (self.ftrl_cumsum, self.ftrl_prev_noisy,
+                                     self.ftrl_momentum_buf)
+            (new_global, self.uplink_error,
+             (self.ftrl_cumsum, self.ftrl_prev_noisy,
+              self.ftrl_momentum_buf),
+             metrics) = self._superstep(*step_args)
+            self.ftrl_participations += (np.asarray(mask) > 0)
         else:
             new_global, self.uplink_error, metrics = \
                 self._superstep(*step_args)
@@ -1069,6 +1251,29 @@ class FederatedRoundEngine:
                 metadata={"round": self.round_number, "mode": cfg.dp_mode,
                           "total_epsilon": total_eps, "q": q, "steps": steps},
             )
+        elif cfg.dp_mode == "dp_ftrl":
+            # the WHOLE tree is one Gaussian mechanism certified up
+            # front; charge the ledger once, at round 0 — later rounds
+            # release through the same already-paid-for tree
+            if self.round_number == 0:
+                eps_spent = self._ftrl_eps_total
+                if self.budget_tracker is not None:
+                    self.budget_tracker.consume_budget(
+                        eps_spent, self.privacy.delta, "dp_ftrl_tree")
+                from fl_tpu.fl import dp_ftrl as ftrl
+
+                self.accountant.add_mechanism(
+                    "tree_gaussian", eps_spent, self.privacy.delta,
+                    sensitivity=ftrl.ftrl_sensitivity(
+                        self.privacy.max_grad_norm, cfg.ftrl_rounds,
+                        cfg.ftrl_max_participations),
+                    noise_scale=self._ftrl_sigma_node,
+                    metadata={"mode": "dp_ftrl",
+                              "t_max": cfg.ftrl_rounds,
+                              "k": cfg.ftrl_max_participations,
+                              "height": self._ftrl_height,
+                              "z": self.privacy.noise_multiplier},
+                )
         elif self.budget_tracker is not None and cfg.dp_mode != "none":
             eps_r = cfg.epsilon_per_round or self.privacy.epsilon
             del_r = cfg.delta_per_round or self.privacy.delta
@@ -1178,6 +1383,11 @@ class FederatedRoundEngine:
                 "run_rounds_fused does not support scaffold (the control-"
                 "variate state is carried on the host between rounds); "
                 "use run_round / run")
+        if cfg.dp_mode == "dp_ftrl":
+            raise ValueError(
+                "run_rounds_fused does not support dp_ftrl (mechanism "
+                "state and the participation ledger are carried on the "
+                "host between rounds); use run_round / run")
         if self._server_opt is not None:
             raise ValueError(
                 "run_rounds_fused does not support a server optimizer "
