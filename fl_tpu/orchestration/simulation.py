@@ -72,7 +72,7 @@ class SimulationConfig:
     privacy_epsilon: Optional[float] = 1.0
     privacy_delta: float = 1e-5
     max_grad_norm: float = 1.0
-    dp_mode: str = "delta"  # "none" | "delta" | "dp_sgd"
+    dp_mode: str = "delta"  # "none" | "delta" | "dp_sgd" | "client_dp" | "dp_ftrl"
     participation_rate: float = 1.0
     straggler_dropout_rate: float = 0.0
     heterogeneous_clients: bool = True
@@ -85,6 +85,15 @@ class SimulationConfig:
     n_train_synth: int = 20_000
     n_test_synth: int = 4_000
     samples_per_client: Optional[int] = None
+    noise_multiplier: float = 1.0  # z for dp_sgd / client_dp / dp_ftrl
+    # passthroughs for engine capabilities beyond the reference surface
+    # (scaffold, dp_ftrl knobs, robust aggregation, uplink compression,
+    # server optimizers, ...): merged into RoundEngineConfig /
+    # FederatedTrainingConfig as extra fields
+    engine_overrides: Dict[str, Any] = dataclasses.field(
+        default_factory=dict)
+    training_overrides: Dict[str, Any] = dataclasses.field(
+        default_factory=dict)
 
 
 class FederatedLearningSimulation:
@@ -129,12 +138,14 @@ class FederatedLearningSimulation:
             privacy = PrivacyConfig(
                 epsilon=cfg.privacy_epsilon, delta=cfg.privacy_delta,
                 max_grad_norm=cfg.max_grad_norm,
+                noise_multiplier=cfg.noise_multiplier,
             )
         engine_cfg = RoundEngineConfig(
             training=FederatedTrainingConfig(
                 local_epochs=cfg.local_epochs, batch_size=cfg.batch_size,
                 learning_rate=cfg.learning_rate,
                 proximal_mu=cfg.proximal_mu,
+                **cfg.training_overrides,
             ),
             dp_mode=cfg.dp_mode if privacy else "none",
             privacy=privacy,
@@ -147,6 +158,7 @@ class FederatedLearningSimulation:
             max_clients=cfg.num_clients,
             seed=cfg.seed,
             secure_aggregation=cfg.secure_aggregation,
+            **cfg.engine_overrides,
         )
         augment = None
         if cfg.dataset == "cifar10":

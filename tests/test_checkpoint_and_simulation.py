@@ -170,3 +170,29 @@ def test_checkpoint_persists_rdp_accountant(tmp_path, mnist):
     a.run_round(evaluate=False)
     assert b.rdp_accountant.get_epsilon(1e-5) == pytest.approx(
         a.rdp_accountant.get_epsilon(1e-5), rel=1e-12)
+
+
+def test_simulation_overrides_expose_engine_capabilities():
+    """engine_overrides/training_overrides pass capability extensions
+    (here: SCAFFOLD and dp_ftrl) through the reference-parity harness."""
+    results = run_mnist_simulation(
+        num_clients=4, num_rounds=2, target_accuracy=0.99,
+        n_train_synth=256, n_test_synth=64, samples_per_client=32,
+        local_epochs=1, dp_mode="none", privacy_epsilon=None,
+        heterogeneous_clients=False, seed=1,
+        engine_overrides={"scaffold": True},
+        training_overrides={"optimizer_type": "sgd", "momentum": 0.0},
+    )
+    assert results["rounds_completed"] == 2
+
+    results = run_mnist_simulation(
+        num_clients=4, num_rounds=2, target_accuracy=0.99,
+        n_train_synth=256, n_test_synth=64, samples_per_client=32,
+        local_epochs=1, dp_mode="dp_ftrl", privacy_epsilon=30.0,
+        noise_multiplier=1.0, heterogeneous_clients=False, seed=1,
+        engine_overrides={"ftrl_rounds": 2, "ftrl_cohort_size": 2},
+    )
+    assert results["rounds_completed"] == 2
+    # dp_ftrl certifies the whole transcript once at round 0
+    eps = [r["epsilon_spent"] for r in results["round_history"]]
+    assert eps[0] > 0 and eps[1] == 0.0
