@@ -411,6 +411,9 @@ def make_local_train_fn(
         }
         return {"params": params, **extra}, metrics
 
+    # callers (round engine: SCAFFOLD k_steps; metrics) must use the
+    # trainer's own step count, not re-derive it
+    local_train.steps_per_epoch = steps_per_epoch
     return local_train
 
 

@@ -80,9 +80,14 @@ def make_personalization_fn(
 
     def personalize(variables: Variables, images_u8, labels, n_valid, rng):
         n = jnp.maximum(n_valid.astype(jnp.int32), 1)
-        # ≥1 fine-tune sample and ≥1 holdout sample whenever n ≥ 2
+        # ≥1 fine-tune sample and ≥1 holdout sample whenever n ≥ 2.
+        # n == 1 has no valid split: jnp.clip with inverted bounds
+        # (1, 0) would yield n_ft=0 and score the TRAINING sample as
+        # holdout; clamp the upper bound so n_ft=1, the holdout is
+        # empty, and n_holdout=0 zero-weights the client in summaries.
         n_ft = jnp.clip((n.astype(jnp.float32)
-                         * finetune_fraction).astype(jnp.int32), 1, n - 1)
+                         * finetune_fraction).astype(jnp.int32), 1,
+                        jnp.maximum(n - 1, 1))
         tuned, _ = local_train(
             variables, images_u8, labels, n_ft,
             jnp.int32(finetune_epochs), rng,
@@ -106,6 +111,10 @@ def evaluate_personalization(
     finetune_epochs: int = 1,
     finetune_fraction: float = 0.8,
 ) -> Dict[str, object]:
+    # compiled-program cache lives on the engine: jit's cache is keyed on
+    # callable identity, so rebuilding the closure per call would
+    # recompile the full vmapped fine-tune program every invocation
+    # (the monitoring use is "every N rounds")
     """Run the personalization protocol over every client of a
     :class:`~fl_tpu.orchestration.round_engine.FederatedRoundEngine` at its
     current global model.
@@ -121,33 +130,40 @@ def evaluate_personalization(
     from fl_tpu.core import prng
 
     C = engine.num_clients
-    fn = make_personalization_fn(
-        engine.model, engine.config.training,
-        samples_per_client=engine.data.samples_per_client,
-        mean=engine.data.mean, std=engine.data.std,
-        finetune_epochs=finetune_epochs,
-        finetune_fraction=finetune_fraction,
-    )
+    cache = getattr(engine, "_personalization_cache", None)
+    if cache is None:
+        cache = engine._personalization_cache = {}
+    run = cache.get((finetune_epochs, finetune_fraction))
+    if run is None:
+        fn = make_personalization_fn(
+            engine.model, engine.config.training,
+            samples_per_client=engine.data.samples_per_client,
+            mean=engine.data.mean, std=engine.data.std,
+            finetune_epochs=finetune_epochs,
+            finetune_fraction=finetune_fraction,
+        )
 
-    def batch(variables, images, labels, num_samples, keys):
-        stacked = jax.tree.map(
-            lambda x: jnp.broadcast_to(x[None], (images.shape[0],) + x.shape),
-            variables)
-        return jax.vmap(fn)(stacked, images, labels, num_samples, keys)
+        def batch(variables, images, labels, num_samples, keys):
+            stacked = jax.tree.map(
+                lambda x: jnp.broadcast_to(
+                    x[None], (images.shape[0],) + x.shape),
+                variables)
+            return jax.vmap(fn)(stacked, images, labels, num_samples, keys)
 
-    if engine.mesh is not None:
-        from jax.sharding import PartitionSpec as P
+        if engine.mesh is not None:
+            from jax.sharding import PartitionSpec as P
 
-        axis = engine.mesh.axis_names[0]
-        rep, csh = P(), P(axis)
-        run = jax.jit(jax.shard_map(
-            batch, mesh=engine.mesh,
-            in_specs=(rep, csh, csh, csh, csh),
-            out_specs=csh,
-            check_vma=False,
-        ))
-    else:
-        run = jax.jit(batch)
+            axis = engine.mesh.axis_names[0]
+            rep, csh = P(), P(axis)
+            run = jax.jit(jax.shard_map(
+                batch, mesh=engine.mesh,
+                in_specs=(rep, csh, csh, csh, csh),
+                out_specs=csh,
+                check_vma=False,
+            ))
+        else:
+            run = jax.jit(batch)
+        cache[(finetune_epochs, finetune_fraction)] = run
 
     pkey = prng.stream_key(
         prng.round_key(engine._root_key, jnp.int32(engine.round_number)),

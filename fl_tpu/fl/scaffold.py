@@ -67,7 +67,10 @@ def scaffold_update(
     (Karimireddy et al. eq. for |S|/N-weighted c update)."""
     k = jnp.maximum(k_steps.astype(jnp.float32), 1.0)[:, None]
     ci_plus = ci_mat - c_flat[None, :] - delta_mat / (k * lr)
-    m = (mask > 0).astype(jnp.float32)[:, None]
+    # a participant that took zero local steps (epoch budget 0) has no
+    # trajectory to recover a gradient estimate from — its variate must
+    # not move (otherwise it would be dragged by -c for free)
+    m = ((mask > 0) & (k_steps > 0)).astype(jnp.float32)[:, None]
     new_ci = jnp.where(m > 0, ci_plus, ci_mat)
     dc = psum(jnp.sum(m * (ci_plus - ci_mat), axis=0))
     new_c = c_flat + dc / float(num_clients)

@@ -146,7 +146,14 @@ def save_engine_checkpoint(engine, directory: str) -> Path:
                        {"cumsum": engine.ftrl_cumsum,
                         "prev_noisy": engine.ftrl_prev_noisy,
                         "momentum": engine.ftrl_momentum_buf,
-                        "participations": engine.ftrl_participations},
+                        "participations": engine.ftrl_participations,
+                        # the tree nonce keys the regenerated node noise;
+                        # a resume must reuse THIS tree's nonce or the
+                        # carried noisy prefix would diverge from the
+                        # future node draws
+                        "tree_nonce": np.asarray(
+                            [engine._ftrl_nonce & 0xFFFFFFFF,
+                             engine._ftrl_nonce >> 32], np.uint32)},
                        force=True)
         mgr._ckpt.wait_until_finished()
     if engine.config.scaffold:
@@ -181,15 +188,30 @@ def restore_engine_checkpoint(engine, directory: str,
             ef_dir, {"ef": engine.uplink_error})["ef"]
     ftrl_dir = mgr._step_dir(state["round_number"]) / "dp_ftrl"
     if ftrl_dir.exists() and engine.config.dp_mode == "dp_ftrl":
+        import jax
+
+        from fl_tpu.core import prng
+
         st = mgr._ckpt.restore(
             ftrl_dir, {"cumsum": engine.ftrl_cumsum,
                        "prev_noisy": engine.ftrl_prev_noisy,
                        "momentum": engine.ftrl_momentum_buf,
-                       "participations": engine.ftrl_participations})
+                       "participations": engine.ftrl_participations,
+                       "tree_nonce": np.zeros(2, np.uint32)})
         engine.ftrl_cumsum = st["cumsum"]
         engine.ftrl_prev_noisy = st["prev_noisy"]
         engine.ftrl_momentum_buf = st["momentum"]
         engine.ftrl_participations = np.asarray(st["participations"])
+        lo, hi = (int(x) for x in np.asarray(st["tree_nonce"]))
+        nonce = lo | (hi << 32)
+        if nonce != engine._ftrl_nonce:
+            engine._ftrl_nonce = nonce
+            engine._ftrl_tree_key = jax.random.fold_in(
+                jax.random.fold_in(
+                    prng.stream_key(engine._root_key,
+                                    prng.Stream.DP_NOISE),
+                    np.uint32(lo)), np.uint32(hi))
+            engine._build_pipeline()  # superstep closed over the old key
     sc_dir = mgr._step_dir(state["round_number"]) / "scaffold"
     if sc_dir.exists() and engine.config.scaffold:
         sc = mgr._ckpt.restore(

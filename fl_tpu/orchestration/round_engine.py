@@ -141,6 +141,12 @@ class RoundEngineConfig:
     # whole-transcript release; ε is certified once up front
     # (gaussian_epsilon(z, δ)) and must fit privacy.epsilon.
     ftrl_rounds: Optional[int] = None     # T_max: tree size (required)
+    # Tree nonce: node noise is regenerated from fold_in(key, nonce), so
+    # two trees sharing a nonce share noise — differencing their released
+    # prefix sums would cancel it and void the guarantee. None (default)
+    # draws fresh OS entropy per engine; set explicitly ONLY to reproduce
+    # one specific run, never to "continue" a finished tree.
+    ftrl_tree_nonce: Optional[int] = None
     ftrl_max_participations: int = 1      # k: per-client round budget
     ftrl_momentum: float = 0.9            # β of DP-FTRLM (0 = plain)
     ftrl_cohort_size: Optional[int] = None  # m̄; default q*N rounded
@@ -310,6 +316,17 @@ class FederatedRoundEngine:
                 if config.ftrl_cohort_size is not None
                 else max(1, round(config.participation_rate
                                   * self.num_clients)))
+            nonce = config.ftrl_tree_nonce
+            if nonce is None:
+                import os as _os
+
+                nonce = int.from_bytes(_os.urandom(8), "little")
+            self._ftrl_nonce = int(nonce) & 0xFFFFFFFFFFFFFFFF
+            self._ftrl_tree_key = jax.random.fold_in(
+                jax.random.fold_in(
+                    prng.stream_key(self._root_key, prng.Stream.DP_NOISE),
+                    np.uint32(self._ftrl_nonce & 0xFFFFFFFF)),
+                np.uint32(self._ftrl_nonce >> 32))
 
         # adaptive clipping (Andrew et al. 2021) — client_dp only: the
         # quantile indicator is computed on the centrally-visible pre-clip
@@ -357,6 +374,13 @@ class FederatedRoundEngine:
                     "scaffold forms per-client c_i from individual deltas, "
                     "which secure aggregation is designed to hide from the "
                     "server")
+            if t.param_storage_dtype is not None:
+                raise ValueError(
+                    "scaffold cannot compose with param_storage_dtype: "
+                    "the Option II recovery divides the trajectory by "
+                    "K*lr, amplifying the stochastic-rounding noise in "
+                    "the stored params by 1/(K*lr) into the control "
+                    "variates")
 
         self._augment_fn = augment_fn
         self._built_homogeneous: Optional[bool] = None
@@ -651,8 +675,9 @@ class FederatedRoundEngine:
         adaptive = cfg.adaptive_clipping
         scaffold = cfg.scaffold
         ftrl_on = dp_mode == "dp_ftrl"
-        steps_per_epoch = max(
-            1, self.data.samples_per_client // cfg.training.batch_size)
+        # the trainer owns the step-count formula; SCAFFOLD's c_i
+        # recovery divides by exactly the steps the trainer takes
+        steps_per_epoch = self._local_train.steps_per_epoch
         # z_Δ: inflated aggregate noise so the count release is free w.r.t.
         # the accountant (Andrew et al. 2021 Thm 1; host-computed constant)
         z_delta = (dp.adaptive_clip_delta_multiplier(
@@ -894,8 +919,7 @@ class FederatedRoundEngine:
                 pmat, pspec = stack_flatten(jax.tree.map(
                     lambda g: g[None].astype(jnp.float32),
                     global_vars["params"]))
-                tree_key = prng.stream_key(self._root_key,
-                                           prng.Stream.DP_NOISE)
+                tree_key = self._ftrl_tree_key
                 (new_pflat, ftrl_cumsum_out, ftrl_noisy_out,
                  ftrl_mom_out) = ftrl.ftrl_server_step(
                     pmat[0], ftrl_cumsum, ftrl_prev_noisy, ftrl_mom,
@@ -1068,6 +1092,11 @@ class FederatedRoundEngine:
 
             mask = rotation_mask(self.num_clients, self.round_number,
                                  self._ftrl_cohort)
+            if cfg.straggler_dropout_rate > 0:
+                # dropping clients only SHRINKS participation — always
+                # privacy-safe under DP-FTRL's arbitrary-ordering guarantee
+                mask *= (self._np_rng.random(self.num_clients)
+                         >= cfg.straggler_dropout_rate).astype(np.float32)
             if exclude:
                 mask[np.asarray(exclude, int)] = 0.0
             return mask
@@ -1134,7 +1163,10 @@ class FederatedRoundEngine:
                     f"dp_ftrl tree exhausted: ftrl_rounds={cfg.ftrl_rounds} "
                     "fixed the tree height and sensitivity; running more "
                     "rounds would exceed the certified ε. Start a new "
-                    "engine (tree restart) to continue.")
+                    "engine to continue (tree restart) — and let it draw "
+                    "a FRESH ftrl_tree_nonce (the default): reusing a "
+                    "nonce across trees reuses node noise, which "
+                    "differencing would cancel.")
             would = self.ftrl_participations + (np.asarray(mask) > 0)
             if int(would.max()) > cfg.ftrl_max_participations:
                 over = np.flatnonzero(

@@ -122,7 +122,10 @@ def make_engine(mnist, num_clients=8, z=2.0, t_max=4, k=1, cohort=None,
                               max_grad_norm=max_norm, noise_multiplier=z),
         ftrl_rounds=t_max, ftrl_max_participations=k,
         ftrl_cohort_size=cohort, ftrl_momentum=momentum,
-        ftrl_server_lr=lr, seed=seed, **cfg_kw,
+        ftrl_server_lr=lr, seed=seed,
+        # paired engines in these tests must share one tree; production
+        # default (None) draws fresh entropy per engine
+        ftrl_tree_nonce=cfg_kw.pop("nonce", 7), **cfg_kw,
     )
     return FederatedRoundEngine(model, fa, cfg, mesh=mesh)
 
@@ -282,6 +285,63 @@ def test_dp_ftrl_mesh_matches_single_device(mnist, mesh8):
         np.testing.assert_allclose(
             np.asarray(v), np.asarray(sharded.get_model_weights()[k_]),
             rtol=1e-4, atol=1e-6)
+
+
+def test_fresh_engines_draw_fresh_trees(mnist):
+    """Default ftrl_tree_nonce=None: two engines with IDENTICAL config
+    and seed must still use different node noise — otherwise an
+    adversary could difference two trees' released prefix sums and
+    cancel the noise entirely (tree-restart reuse attack)."""
+    runs = []
+    for _ in range(2):
+        eng = make_engine(mnist, num_clients=4, t_max=2, cohort=2, k=1,
+                          z=1.0, epsilon=1e12, momentum=0.0, nonce=None)
+        eng.run_round(evaluate=False)
+        runs.append(np.asarray(eng.ftrl_prev_noisy))
+    assert not np.array_equal(runs[0], runs[1])
+    # explicit matching nonces reproduce exactly (the test-suite mode)
+    runs = []
+    for _ in range(2):
+        eng = make_engine(mnist, num_clients=4, t_max=2, cohort=2, k=1,
+                          z=1.0, epsilon=1e12, momentum=0.0, nonce=99)
+        eng.run_round(evaluate=False)
+        runs.append(np.asarray(eng.ftrl_prev_noisy))
+    np.testing.assert_array_equal(runs[0], runs[1])
+
+
+def test_checkpoint_restores_tree_nonce(mnist, tmp_path):
+    """A resumed engine must continue the SAME tree even if its own
+    fresh nonce differed — future node draws have to match the carried
+    noisy prefix."""
+    from fl_tpu.orchestration.checkpoint import (
+        restore_engine_checkpoint,
+        save_engine_checkpoint,
+    )
+
+    eng = make_engine(mnist, num_clients=8, t_max=8, cohort=2, k=1,
+                      z=0.5, epsilon=1e12, nonce=1234)
+    eng.run_round(evaluate=False)
+    save_engine_checkpoint(eng, str(tmp_path))
+    fresh = make_engine(mnist, num_clients=8, t_max=8, cohort=2, k=1,
+                        z=0.5, epsilon=1e12, nonce=None)  # different tree
+    restore_engine_checkpoint(fresh, str(tmp_path))
+    assert fresh._ftrl_nonce == 1234
+    a = eng.run_round(evaluate=False)
+    b = fresh.run_round(evaluate=False)
+    np.testing.assert_allclose(np.asarray(eng.ftrl_prev_noisy),
+                               np.asarray(fresh.ftrl_prev_noisy),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(a.train_loss, b.train_loss,
+                               rtol=1e-5, atol=1e-7)
+
+
+def test_straggler_dropout_applies_to_rotation(mnist):
+    eng = make_engine(mnist, num_clients=8, t_max=8, cohort=8, k=8,
+                      z=0.5, epsilon=1e12,
+                      straggler_dropout_rate=0.95)
+    masks = [eng.sample_participation() for _ in range(4)]
+    total = sum(int(m.sum()) for m in masks)
+    assert total < 4 * 8  # dropout actually removed clients
 
 
 def test_dp_ftrl_checkpoint_roundtrip(mnist, tmp_path):

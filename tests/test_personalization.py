@@ -102,6 +102,27 @@ def test_personalization_on_mesh_matches_single_device(mnist, mesh8):
         rtol=1e-4)
 
 
+def test_single_sample_client_zero_weighted(mnist):
+    """n=1 has no valid split: the client must get an EMPTY holdout
+    (n_holdout=0, zero weight in summaries), never be scored on its own
+    fine-tune sample."""
+    from fl_tpu.data import make_federated_arrays as mfa
+
+    model = create_model("simple_cnn")
+    fa = mfa(mnist, num_clients=4, strategy="iid", samples_per_client=8,
+             seed=0)
+    fa.num_samples = np.array([1, 8, 8, 8], np.int32)  # client 0: n=1
+    cfg = RoundEngineConfig(
+        training=FederatedTrainingConfig(local_epochs=1, batch_size=4),
+        seed=0)
+    eng = FederatedRoundEngine(model, fa, cfg)
+    out = eng.evaluate_personalized(finetune_fraction=0.75)
+    pc = out["per_client"]
+    assert pc["n_holdout"][0] == 0
+    # summary weights renormalize over the remaining clients
+    assert np.isfinite(out["mean_personalized_accuracy"])
+
+
 def test_personalization_after_training_round(mnist):
     """The protocol runs at the current global model — after a round the
     round_number-keyed PRNG gives fresh fine-tune shuffles and the call

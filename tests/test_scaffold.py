@@ -66,6 +66,31 @@ def test_scaffold_rejects_dp_and_secagg(mnist):
             training=t, scaffold=True, secure_aggregation=True))
 
 
+def test_scaffold_rejects_bf16_param_storage(mnist):
+    fa = make_federated_arrays(mnist, num_clients=2, strategy="iid",
+                               samples_per_client=16, seed=0)
+    with pytest.raises(ValueError, match="param_storage_dtype"):
+        FederatedRoundEngine(
+            create_model("simple_cnn"), fa,
+            RoundEngineConfig(training=FederatedTrainingConfig(
+                optimizer_type="sgd", momentum=0.0,
+                param_storage_dtype="bfloat16"), scaffold=True))
+
+
+def test_zero_epoch_participant_keeps_variate(mnist):
+    """A participating client whose epoch budget is 0 took no local
+    steps — its control variate must not move (it would otherwise be
+    dragged by -c with no trajectory behind it)."""
+    eng = make_engine(mnist, num_clients=4, epochs=2)
+    eng.run_round(mask=np.ones(4, np.float32), evaluate=False)  # warm c
+    eng.epochs_per_client = np.array([0, 2, 2, 2], np.int32)
+    before = np.asarray(eng.scaffold_ci).copy()
+    eng.run_round(mask=np.ones(4, np.float32), evaluate=False)
+    after = np.asarray(eng.scaffold_ci)
+    np.testing.assert_array_equal(after[0], before[0])
+    assert not np.array_equal(after[1], before[1])
+
+
 def test_scaffold_rejects_fused_rounds(mnist):
     eng = make_engine(mnist, num_clients=2, epochs=1)
     with pytest.raises(ValueError, match="fused"):
