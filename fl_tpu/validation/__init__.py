@@ -19,3 +19,8 @@ from fl_tpu.validation.audit import (  # noqa: F401
     empirical_epsilon_lower_bound,
     run_client_membership_audit,
 )
+from fl_tpu.validation.inversion import (  # noqa: F401
+    InversionAttackConfig,
+    evaluate_inversion_risk,
+    inversion_report,
+)

