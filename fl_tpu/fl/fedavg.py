@@ -80,6 +80,23 @@ def fedavg_delta(
     return pt.tree_add(global_tree, avg_delta)
 
 
+def fednova_effective_steps(tau: jax.Array, momentum: float) -> jax.Array:
+    """FedNova per-client effective step count a_i (Wang et al. 2020,
+    Table 1, local SGD with heavy-ball momentum ρ):
+
+        a_i = [τ_i − ρ(1−ρ^{τ_i})/(1−ρ)] / (1−ρ),    a_i = τ_i at ρ=0,
+
+    the ℓ1 norm of the trajectory's accumulated update coefficients —
+    dividing a client's delta by a_i normalizes away how *much* local work
+    it did, so heterogeneous epoch budgets stop biasing the aggregate
+    toward heavy-working clients (objective inconsistency, §3)."""
+    tau = tau.astype(jnp.float32)
+    if momentum <= 0.0:
+        return tau
+    rho = jnp.float32(momentum)
+    return (tau - rho * (1.0 - rho ** tau) / (1.0 - rho)) / (1.0 - rho)
+
+
 def convergence_score(old_tree: Any, new_tree: Any) -> jax.Array:
     """Σℓ‖Δℓ‖ / Σℓ‖θℓ‖ clamped to [0, 1] (ref:
     calculate_convergence_metrics, src/aggregation/fedavg.py:144-190 — note

@@ -151,6 +151,18 @@ class RoundEngineConfig:
     ftrl_momentum: float = 0.9            # β of DP-FTRLM (0 = plain)
     ftrl_cohort_size: Optional[int] = None  # m̄; default q*N rounded
     ftrl_server_lr: float = 1.0           # η of the FTRL server step
+    # FedNova normalized averaging (Wang et al. 2020): with heterogeneous
+    # local work (per-client epoch budgets from capability adaptation),
+    # plain FedAvg optimizes an inconsistent objective biased toward
+    # clients that took more local steps. FedNova divides each client's
+    # delta by its effective step count a_i (for SGD-with-momentum ρ:
+    # a_i = [τ_i − ρ(1−ρ^τ_i)/(1−ρ)]/(1−ρ); plain SGD: a_i = τ_i) and
+    # rescales by τ_eff = Σ p_i a_i, recovering the consistent objective.
+    # Requires optimizer_type="sgd" (a_i is an SGD-trajectory identity),
+    # no FedProx/SCAFFOLD (their a_i differs), aggregation="fedavg", and
+    # dp_mode in ("none", "delta") — delta-mode noise is a per-client
+    # local release, so reweighting it is DP post-processing.
+    fednova: bool = False
     # SCAFFOLD control variates (Karimireddy et al. 2020, fl.scaffold):
     # corrects client drift by adding (c - c_i) to every local SGD step's
     # gradient. Requires plain SGD local steps (Option II identity),
@@ -257,6 +269,40 @@ class FederatedRoundEngine:
                 raise ValueError(
                     f"trimmed_mean with trim_k={config.trim_k} needs more "
                     f"than {2 * config.trim_k} expected participants")
+
+        if config.fednova:
+            if config.aggregation != "fedavg":
+                raise ValueError(
+                    "fednova is a reweighting of the FedAvg reduction; "
+                    f"it cannot compose with aggregation="
+                    f"{config.aggregation!r}")
+            if config.secure_aggregation:
+                raise ValueError(
+                    "fednova cannot compose with secure_aggregation: the "
+                    "pairwise masks cancel only under the FedAvg sample "
+                    "weights, and the server cannot reweight masked "
+                    "payloads per client")
+            if config.dp_mode not in ("none", "delta"):
+                raise ValueError(
+                    "fednova composes only with dp_mode in ('none', "
+                    "'delta'): delta noise is a per-client local release "
+                    "(reweighting is post-processing), but dp_sgd/"
+                    "client_dp/dp_ftrl calibrate central noise to FIXED "
+                    "aggregation weights")
+            if config.training.optimizer_type != "sgd":
+                raise ValueError(
+                    "fednova's effective-step normalization a_i is an "
+                    "SGD(-momentum) trajectory identity; set "
+                    "training.optimizer_type='sgd' (Wang et al. 2020 §4)")
+            if config.training.proximal_mu:
+                raise ValueError(
+                    "fednova with a FedProx proximal term needs the "
+                    "proximal a_i correction (Wang et al. 2020 Table 1), "
+                    "which is not wired; use one or the other")
+            if config.scaffold:
+                raise ValueError(
+                    "fednova and scaffold both correct client drift; "
+                    "compose at most one")
 
         # privacy bookkeeping (host ledger; noise itself is on-device)
         self.privacy = config.privacy
@@ -992,6 +1038,17 @@ class FederatedRoundEngine:
                         total > 0,
                         nmf / jnp.maximum(total, 1e-12),
                         mask / jnp.maximum(msum, 1.0))
+                    if cfg.fednova:
+                        # normalized averaging (Wang et al. 2020 eq. 6):
+                        # θ⁺ = θ + τ_eff · Σ p_i (Δ_i / a_i). Reduces to
+                        # FedAvg exactly when every participant shares one
+                        # a (homogeneous epochs).
+                        a_i = fa.fednova_effective_steps(
+                            epochs.astype(jnp.float32) * steps_per_epoch,
+                            cfg.training.momentum)
+                        tau_eff = psum_((w_local * a_i).sum())
+                        w_local = (tau_eff * w_local
+                                   / jnp.maximum(a_i, 1e-12))
 
                     def _combine(c, g):
                         d = (c - g[None]).astype(jnp.float32)
