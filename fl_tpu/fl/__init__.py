@@ -25,6 +25,7 @@ from fl_tpu.fl.fedavg import (  # noqa: F401
     create_fedavg_aggregator,
     fedavg_delta,
     fedavg_stacked,
+    fednova_effective_steps,
 )
 from fl_tpu.fl.local_training import (  # noqa: F401
     FederatedTrainingConfig,
@@ -33,6 +34,14 @@ from fl_tpu.fl.local_training import (  # noqa: F401
     make_local_train_fn,
 )
 from fl_tpu.fl.partition import DataPartitioner, partition_indices  # noqa: F401
+from fl_tpu.fl.clustered import (  # noqa: F401
+    ClusteredConfig,
+    ClusteredFederatedEngine,
+)
+from fl_tpu.fl.async_fl import (  # noqa: F401
+    AsyncConfig,
+    AsyncFederatedEngine,
+)
 from fl_tpu.fl.privacy import (  # noqa: F401
     DifferentialPrivacyEngine,
     PrivacyAccountant,
