@@ -11,3 +11,4 @@ from fl_tpu.orchestration.round_engine import (  # noqa: F401
     RoundEngineConfig,
     RoundResult,
 )
+from fl_tpu.orchestration.selection import OortSelector  # noqa: F401

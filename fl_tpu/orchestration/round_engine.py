@@ -1407,6 +1407,12 @@ class FederatedRoundEngine:
             epsilon_spent=eps_spent,
             clip_norm=round_clip,
         )
+        # per-client training signals for host-side policies (client
+        # selection, failure scoring). Only participants' entries are
+        # meaningful — non-participants trained on masked no-ops.
+        self.last_client_losses = np.asarray(metrics["client_loss"])
+        self.last_client_accuracies = np.asarray(
+            metrics["client_accuracy"])
         self.history.append(result)
         self.round_number += 1
         return result
