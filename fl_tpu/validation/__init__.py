@@ -24,3 +24,7 @@ from fl_tpu.validation.inversion import (  # noqa: F401
     evaluate_inversion_risk,
     inversion_report,
 )
+from fl_tpu.validation.poisoning import (  # noqa: F401
+    evaluate_poisoning_robustness,
+    poison_label_flip,
+)

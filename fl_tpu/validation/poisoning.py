@@ -1,0 +1,120 @@
+"""Poisoning-robustness evaluation: measured attack/defense outcomes.
+
+The framework ships Byzantine-robust aggregators (fl_tpu.fl.robust_agg:
+coordinate trimmed mean / median / multi-Krum) whose value is only
+demonstrable under an actual attack. This harness runs the canonical
+data-poisoning threat against the REAL round engine and measures each
+aggregator's clean-test accuracy, so the robustness claim is a number,
+not a citation:
+
+- **label flipping** (Biggio et al. 2012; the standard FL baseline
+  attack): attacker clients train on y → (K−1−y) relabeled shards,
+  pushing the aggregate toward systematically wrong decision boundaries.
+- **weight inflation**: attackers additionally report inflated sample
+  counts. Sample-weighted FedAvg multiplies their influence (the
+  reference trusts client-reported ``num_samples``,
+  src/aggregation/fedavg.py:247-265 — same surface here by design);
+  robust aggregators combine *unweighted* and shrug it off.
+
+Everything runs through the production superstep — the attack is in the
+data/metadata, not a mocked aggregation. The reference has no adversarial
+evaluation at all (its SecurityValidator scores heuristic "risk levels",
+src/validation/privacy_validator.py:454-503).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional, Sequence
+
+import numpy as np
+
+from fl_tpu.fl.local_training import FederatedTrainingConfig
+
+
+def poison_label_flip(
+    data: "FederatedArrays",
+    attacker_ids: Sequence[int],
+    inflate_samples: float = 1.0,
+) -> "FederatedArrays":
+    """Return a copy of ``data`` where each attacker's labels are flipped
+    to K−1−y and (optionally) its reported sample count is inflated by
+    ``inflate_samples`` (the count is attacker-controlled metadata — the
+    shard itself keeps its true length, matching what a malicious client
+    can actually do on the wire: lie in ``ModelUpdate.num_samples``)."""
+    atk = np.asarray(list(attacker_ids), int)
+    if atk.size and (atk.min() < 0 or atk.max() >= data.num_clients):
+        raise ValueError(
+            f"attacker ids out of range [0, {data.num_clients})")
+    labels = np.array(data.labels, copy=True)
+    labels[atk] = (data.num_classes - 1) - labels[atk]
+    counts = np.array(data.num_samples, copy=True)
+    if inflate_samples != 1.0:
+        counts[atk] = np.round(
+            counts[atk].astype(np.float64) * inflate_samples
+        ).astype(counts.dtype)
+    return dataclasses.replace(
+        data, labels=labels, num_samples=counts)
+
+
+def evaluate_poisoning_robustness(
+    model_fn: Callable[[], Any],
+    data: "FederatedArrays",
+    test_images: np.ndarray,
+    test_labels: np.ndarray,
+    attacker_ids: Sequence[int],
+    training: Optional[FederatedTrainingConfig] = None,
+    aggregations: Sequence[str] = ("fedavg", "trimmed_mean", "median",
+                                   "krum"),
+    num_rounds: int = 4,
+    inflate_samples: float = 1.0,
+    trim_k: Optional[int] = None,
+    krum_f: Optional[int] = None,
+    seed: int = 0,
+    mesh=None,
+) -> Dict[str, Any]:
+    """Train one engine per aggregator on the SAME poisoned population and
+    report clean-test accuracy each, plus a clean-population FedAvg
+    baseline (the no-attack ceiling).
+
+    ``model_fn`` must return a fresh FLModel per engine (identical init
+    comes from the shared seed). ``trim_k``/``krum_f`` default to the
+    attacker count. Returns ``{"clean_fedavg": acc, "poisoned":
+    {agg: acc}, "num_attackers": f, ...}``.
+    """
+    from fl_tpu.orchestration import (
+        FederatedRoundEngine,
+        RoundEngineConfig,
+    )
+
+    training = training or FederatedTrainingConfig()
+    f = len(list(attacker_ids))
+    trim_k = f if trim_k is None else trim_k
+    krum_f = f if krum_f is None else krum_f
+    poisoned = poison_label_flip(data, attacker_ids,
+                                 inflate_samples=inflate_samples)
+
+    def run(agg: str, pop) -> float:
+        cfg = RoundEngineConfig(
+            training=training, seed=seed, aggregation=agg,
+            trim_k=trim_k, krum_f=krum_f,
+            # multi-Krum averaging of n−f−2 lowest-score updates is the
+            # paper's m; keep m=1 (pure Krum) for the sharpest defense
+            krum_m=1,
+        )
+        eng = FederatedRoundEngine(
+            model_fn(), pop, cfg, mesh=mesh,
+            test_images=test_images, test_labels=test_labels)
+        results = eng.run(num_rounds, evaluate_every=num_rounds)
+        return float(results[-1].test_accuracy)
+
+    out: Dict[str, Any] = {
+        "num_attackers": f,
+        "attacker_ids": [int(a) for a in attacker_ids],
+        "inflate_samples": float(inflate_samples),
+        "num_rounds": int(num_rounds),
+        "clean_fedavg": run("fedavg", data),
+        "poisoned": {agg: run(agg, poisoned) for agg in aggregations},
+    }
+    out["best_defense"] = max(out["poisoned"], key=out["poisoned"].get)
+    return out

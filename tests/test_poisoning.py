@@ -1,0 +1,92 @@
+"""Poisoning-robustness evaluation (fl_tpu.validation.poisoning).
+
+Measured attack/defense evidence for the Byzantine-robust aggregators:
+label-flipping attackers with inflated sample counts collapse
+sample-weighted FedAvg while trimmed-mean/median/Krum recover the
+clean-population accuracy. The reference has no adversarial evaluation
+(src/validation/privacy_validator.py:454-503 scores heuristics only).
+"""
+
+import flax.linen as nn
+import numpy as np
+import pytest
+
+from fl_tpu.data.federated import FederatedArrays
+from fl_tpu.data.synthetic import synthetic_mnist
+from fl_tpu.fl.local_training import FederatedTrainingConfig
+from fl_tpu.models.base import FLModel
+from fl_tpu.validation.poisoning import (
+    evaluate_poisoning_robustness,
+    poison_label_flip,
+)
+
+
+class TinyMLP(nn.Module):
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        x = x.reshape((x.shape[0], -1))
+        x = nn.relu(nn.Dense(32, name="fc1")(x))
+        return nn.Dense(10, name="fc2")(x)
+
+
+def model_fn():
+    return FLModel(module=TinyMLP(), name="tiny", input_shape=(28, 28, 1),
+                   num_classes=10)
+
+
+def make_data(C=8, n=64, seed=21):
+    xtr, ytr, xte, yte = synthetic_mnist(n_train=C * n, n_test=512,
+                                         seed=seed)
+    data = FederatedArrays(
+        images=xtr.reshape(C, n, 28, 28, 1),
+        labels=ytr.reshape(C, n).astype(np.int32),
+        num_samples=np.full(C, n, np.int32),
+        mean=np.asarray([0.1307], np.float32),
+        std=np.asarray([0.3081], np.float32), num_classes=10)
+    return data, xte, yte
+
+
+def test_poison_label_flip_is_targeted_and_pure():
+    data, _, _ = make_data(C=4)
+    before = np.array(data.labels, copy=True)
+    poisoned = poison_label_flip(data, [1, 3], inflate_samples=50.0)
+    # attackers flipped to K-1-y, honest clients untouched
+    np.testing.assert_array_equal(poisoned.labels[1], 9 - before[1])
+    np.testing.assert_array_equal(poisoned.labels[3], 9 - before[3])
+    np.testing.assert_array_equal(poisoned.labels[0], before[0])
+    np.testing.assert_array_equal(poisoned.labels[2], before[2])
+    # metadata inflation, images shared, original unmodified
+    assert poisoned.num_samples[1] == data.num_samples[1] * 50
+    assert poisoned.num_samples[0] == data.num_samples[0]
+    np.testing.assert_array_equal(data.labels, before)
+    np.testing.assert_array_equal(poisoned.images, data.images)
+
+
+def test_poison_validates_ids():
+    data, _, _ = make_data(C=4)
+    with pytest.raises(ValueError, match="out of range"):
+        poison_label_flip(data, [4])
+
+
+def test_robust_aggregators_defend_label_flip():
+    """2/8 label-flipping attackers with 50x inflated sample counts:
+    sample-weighted FedAvg collapses; every robust aggregator recovers
+    to within noise of the clean no-attack baseline. Measured at this
+    exact config/seed: clean 0.197, fedavg 0.082, robust 0.162-0.174 —
+    thresholds sit well clear of each."""
+    data, xte, yte = make_data()
+    rep = evaluate_poisoning_robustness(
+        model_fn, data, xte, yte, attacker_ids=[1, 5],
+        training=FederatedTrainingConfig(
+            local_epochs=3, batch_size=16, learning_rate=0.05,
+            optimizer_type="sgd"),
+        num_rounds=5, inflate_samples=50.0, seed=0)
+    clean = rep["clean_fedavg"]
+    poisoned = rep["poisoned"]
+    assert clean > 0.15
+    assert poisoned["fedavg"] < 0.12          # attack works
+    for agg in ("trimmed_mean", "median", "krum"):
+        assert poisoned[agg] > poisoned["fedavg"] + 0.05, agg
+        assert poisoned[agg] > clean - 0.06, agg   # defense ~restores
+    assert rep["best_defense"] != "fedavg"
+    assert rep["num_attackers"] == 2
