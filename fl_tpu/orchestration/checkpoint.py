@@ -234,3 +234,104 @@ def restore_engine_checkpoint(engine, directory: str,
     logger.info("engine restored at round %d from %s",
                 engine.round_number, directory)
     return engine.round_number
+
+
+# ---------------------------------------------------------------------------
+# clustered (IFCA) engine
+# ---------------------------------------------------------------------------
+
+def save_clustered_checkpoint(engine, directory: str) -> Path:
+    """Snapshot a ClusteredFederatedEngine: the k stacked cluster models +
+    round + last assignments. Per-round keys derive from (seed, round),
+    so this is sufficient for exact resume."""
+    mgr = CheckpointManager(directory)
+    host_state: Dict[str, Any] = {
+        "kind": "clustered",
+        "seed": engine.config.seed,
+        "num_clusters": engine.config.num_clusters,
+        "assignments": (None if engine.assignments is None
+                        else [int(a) for a in engine.assignments]),
+    }
+    return mgr.save(engine.round_number, engine.cluster_variables,
+                    host_state)
+
+
+def restore_clustered_checkpoint(engine, directory: str,
+                                 step: Optional[int] = None) -> int:
+    mgr = CheckpointManager(directory)
+    if step is None:
+        step = mgr.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoints in {directory}")
+    # validate metadata BEFORE the orbax restore — a k mismatch would
+    # otherwise surface as an opaque template-shape error
+    meta = json.loads((mgr._step_dir(step) / "meta.json").read_text())
+    hs = meta.get("host_state", {})
+    if hs.get("num_clusters") != engine.config.num_clusters:
+        raise ValueError(
+            f"checkpoint holds {hs.get('num_clusters')} clusters; engine "
+            f"configured for {engine.config.num_clusters}")
+    state = mgr.restore(step, template=engine.cluster_variables)
+    hs = state["host_state"]
+    engine.cluster_variables = state["variables"]
+    engine.round_number = state["round_number"]
+    a = hs.get("assignments")
+    engine.assignments = None if a is None else np.asarray(a, np.int64)
+    logger.info("clustered engine restored at round %d from %s",
+                engine.round_number, directory)
+    return engine.round_number
+
+
+# ---------------------------------------------------------------------------
+# asynchronous (FedBuff) engine
+# ---------------------------------------------------------------------------
+
+def save_async_checkpoint(engine, directory: str) -> Path:
+    """Snapshot an AsyncFederatedEngine. Beyond the model + version ring,
+    async resume needs the HOST event state: the completion queue,
+    per-client attempt counters, the simulated clock, and the host RNG's
+    bit-generator state (service-time draws must continue the original
+    stream or the restored timeline diverges)."""
+    mgr = CheckpointManager(directory)
+    host_state: Dict[str, Any] = {
+        "kind": "async",
+        "seed": engine.config.seed,
+        "version": engine.version,
+        "sim_time": engine.sim_time,
+        "cancelled_attempts": engine.cancelled_attempts,
+        "attempts": [int(a) for a in engine._attempts],
+        "queue": [[float(t), int(c), int(v), int(a)]
+                  for (t, c, v, a) in sorted(engine._queue)],
+        "rng_state": engine._host_rng.bit_generator.state,
+    }
+    path = mgr.save(engine.server_step_count, engine.global_variables,
+                    host_state)
+    mgr._ckpt.save(path / "ring", engine.ring, force=True)
+    mgr._ckpt.wait_until_finished()
+    return path
+
+
+def restore_async_checkpoint(engine, directory: str,
+                             step: Optional[int] = None) -> int:
+    import heapq
+
+    mgr = CheckpointManager(directory)
+    state = mgr.restore(step, template=engine.global_variables)
+    hs = state["host_state"]
+    if hs.get("kind") != "async":
+        raise ValueError(f"{directory} does not hold an async checkpoint")
+    engine.global_variables = state["variables"]
+    engine.server_step_count = state["round_number"]
+    engine.ring = mgr._ckpt.restore(
+        mgr._step_dir(state["round_number"]) / "ring", engine.ring)
+    engine.version = int(hs["version"])
+    engine.sim_time = float(hs["sim_time"])
+    engine.cancelled_attempts = int(hs["cancelled_attempts"])
+    engine._attempts = np.asarray(hs["attempts"], np.int64)
+    engine._queue = [(float(t), int(c), int(v), int(a))
+                     for t, c, v, a in hs["queue"]]
+    heapq.heapify(engine._queue)
+    engine._host_rng.bit_generator.state = hs["rng_state"]
+    logger.info("async engine restored at server step %d from %s",
+                engine.server_step_count, directory)
+    return engine.server_step_count
