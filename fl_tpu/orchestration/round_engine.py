@@ -151,6 +151,18 @@ class RoundEngineConfig:
     ftrl_momentum: float = 0.9            # β of DP-FTRLM (0 = plain)
     ftrl_cohort_size: Optional[int] = None  # m̄; default q*N rounded
     ftrl_server_lr: float = 1.0           # η of the FTRL server step
+    # downlink (broadcast) compression: "none" | "bfloat16" | "int8".
+    # The server ships a lossily-compressed global model θ̂ (per-leaf
+    # symmetric int8 or a bf16 cast — halves/quarters the broadcast
+    # bytes); clients train FROM θ̂ and return deltas measured AGAINST θ̂,
+    # which the server applies to its FULL-PRECISION master θ — the
+    # master never absorbs quantization error (invariant: zero local
+    # work ⇒ θ bit-unchanged). Composes with the uplink path (opposite
+    # direction) and with delta/dp_sgd/client_dp (the DP release is
+    # computed from what clients actually trained on); robust/secure
+    # aggregation and dp_ftrl/scaffold own their delta plumbing and are
+    # refused.
+    downlink_compression: str = "none"
     # FedNova normalized averaging (Wang et al. 2020): with heterogeneous
     # local work (per-client epoch budgets from capability adaptation),
     # plain FedAvg optimizes an inconsistent objective biased toward
@@ -270,6 +282,21 @@ class FederatedRoundEngine:
                     f"trimmed_mean with trim_k={config.trim_k} needs more "
                     f"than {2 * config.trim_k} expected participants")
 
+        if config.downlink_compression not in ("none", "bfloat16", "int8"):
+            raise ValueError(
+                f"downlink_compression={config.downlink_compression!r} "
+                "not in ('none', 'bfloat16', 'int8')")
+        if config.downlink_compression != "none":
+            if config.aggregation != "fedavg" or config.secure_aggregation:
+                raise ValueError(
+                    "downlink_compression composes only with plain FedAvg "
+                    "aggregation (robust/secure paths compute deltas "
+                    "against the uncompressed master)")
+            if config.dp_mode == "dp_ftrl" or config.scaffold:
+                raise ValueError(
+                    "downlink_compression cannot compose with dp_ftrl/"
+                    "scaffold: both carry server-side state defined "
+                    "against the exact broadcast")
         if config.fednova:
             if config.aggregation != "fedavg":
                 raise ValueError(
@@ -721,6 +748,24 @@ class FederatedRoundEngine:
         adaptive = cfg.adaptive_clipping
         scaffold = cfg.scaffold
         ftrl_on = dp_mode == "dp_ftrl"
+        downlink = cfg.downlink_compression
+        if downlink == "int8":
+            from fl_tpu.ops.quantize import (
+                dequantize_affine,
+                quantize_affine,
+            )
+
+            def downlink_ref(x):
+                if not jnp.issubdtype(x.dtype, jnp.floating):
+                    return x
+                q, s, zp = quantize_affine(x, bits=8, symmetric=True)
+                return dequantize_affine(
+                    q, s, zp, symmetric=True).astype(x.dtype)
+        elif downlink == "bfloat16":
+            def downlink_ref(x):
+                if not jnp.issubdtype(x.dtype, jnp.floating):
+                    return x
+                return x.astype(jnp.bfloat16).astype(x.dtype)
         # the trainer owns the step-count formula; SCAFFOLD's c_i
         # recovery divides by exactly the steps the trainer takes
         steps_per_epoch = self._local_train.steps_per_epoch
@@ -777,10 +822,17 @@ class FederatedRoundEngine:
                 keys = jax.vmap(
                     lambda i: jax.random.fold_in(rkey, i))(ids)
 
-            # broadcast global variables to a stacked client axis
+            # θ̂: what clients actually receive. With downlink compression
+            # every delta below is measured against ref_vars; the
+            # aggregated delta is applied to the full-precision master.
+            ref_vars = (jax.tree.map(downlink_ref, global_vars)
+                        if downlink != "none" else global_vars)
+
+            # broadcast the (possibly compressed) globals to a stacked
+            # client axis
             stacked = jax.tree.map(
                 lambda x: jnp.broadcast_to(x[None], (CL,) + x.shape),
-                global_vars
+                ref_vars
             )
 
             if scaffold:
@@ -817,9 +869,10 @@ class FederatedRoundEngine:
 
             if dp_mode == "delta":
                 # reference semantics (federated_trainer.py:428-469):
-                # noise the local-global delta, re-add to global
+                # noise the local-global delta, re-add to global — both
+                # against θ̂, the model the client actually downloaded
                 deltas = jax.tree.map(
-                    lambda c, g: c - g[None], new_stacked, global_vars
+                    lambda c, g: c - g[None], new_stacked, ref_vars
                 )
                 noisy_deltas, sens, sigma = dp.dp_noise_client_deltas(
                     deltas, keys, eps_r, del_r, max_norm,
@@ -829,7 +882,7 @@ class FederatedRoundEngine:
                     mesh=self.mesh if axis is None else None,
                 )
                 new_stacked = jax.tree.map(
-                    lambda d, g: d + g[None], noisy_deltas, global_vars
+                    lambda d, g: d + g[None], noisy_deltas, ref_vars
                 )
                 metrics = dict(metrics, dp_sensitivity=sens, dp_sigma=sigma)
 
@@ -852,7 +905,7 @@ class FederatedRoundEngine:
 
                 up_deltas = jax.tree.map(
                     lambda c, g: (c - g[None]).astype(jnp.float32),
-                    new_stacked, global_vars,
+                    new_stacked, ref_vars,
                 )
                 mat, up_spec = stack_flatten(up_deltas)
                 uplink_fn = make_uplink_fn(
@@ -866,7 +919,7 @@ class FederatedRoundEngine:
                 hat = stack_unflatten(transmitted, up_spec)
                 new_stacked = jax.tree.map(
                     lambda g, d: (g[None] + d).astype(g.dtype),
-                    global_vars, hat,
+                    ref_vars, hat,
                 )
                 metrics = dict(
                     metrics,
@@ -886,7 +939,7 @@ class FederatedRoundEngine:
                 # true sensitivity, matching the Poisson-subsampled RDP
                 # accounting at rate q.
                 deltas = jax.tree.map(
-                    lambda c, g: c - g[None], new_stacked, global_vars
+                    lambda c, g: c - g[None], new_stacked, ref_vars
                 )
                 if cfg.audit_injection:
                     # audit canaries: replace flagged clients' deltas with
@@ -993,11 +1046,15 @@ class FederatedRoundEngine:
                 agg_src = new_stacked
                 if not cfg.aggregate_batch_stats and "batch_stats" in agg_src:
                     agg_src = dict(agg_src)
+                    # re-broadcast the REFERENCE stats so the delta below
+                    # is exactly zero (broadcasting the master's stats
+                    # would leak -quantization_error into them under
+                    # downlink compression)
                     agg_src["batch_stats"] = jax.tree.map(
                         lambda x: jnp.broadcast_to(
                             jnp.expand_dims(x, 0), (CL,) + x.shape
                         ),
-                        global_vars["batch_stats"],
+                        ref_vars["batch_stats"],
                     )
                 if cfg.aggregation != "fedavg":
                     from fl_tpu.fl.robust_agg import robust_combine_deltas
@@ -1050,13 +1107,16 @@ class FederatedRoundEngine:
                         w_local = (tau_eff * w_local
                                    / jnp.maximum(a_i, 1e-12))
 
-                    def _combine(c, g):
-                        d = (c - g[None]).astype(jnp.float32)
+                    def _combine(c, g, ref):
+                        # delta vs what clients received; applied to the
+                        # full-precision master (ref == g when downlink
+                        # compression is off)
+                        d = (c - ref[None]).astype(jnp.float32)
                         avg = psum_(jnp.tensordot(w_local, d, axes=1))
                         return (g + avg).astype(g.dtype)
 
                     new_global = jax.tree.map(
-                        _combine, agg_src, global_vars)
+                        _combine, agg_src, global_vars, ref_vars)
 
             # convergence norms (device-side; host detector consumes scalars)
             w_change = pt.global_norm(pt.tree_sub(new_global, global_vars))
