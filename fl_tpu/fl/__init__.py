@@ -42,6 +42,10 @@ from fl_tpu.fl.async_fl import (  # noqa: F401
     AsyncConfig,
     AsyncFederatedEngine,
 )
+from fl_tpu.fl.hierarchical import (  # noqa: F401
+    HierarchicalConfig,
+    HierarchicalFederatedEngine,
+)
 from fl_tpu.fl.privacy import (  # noqa: F401
     DifferentialPrivacyEngine,
     PrivacyAccountant,
