@@ -42,6 +42,7 @@ engine's DP modes when privacy is required.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import heapq
 import time
 from typing import Any, Dict, List, Optional
@@ -183,8 +184,8 @@ class AsyncFederatedEngine:
                 start_vars, images_u8, labels, n_valid, epochs, key)
             return pt.tree_sub(trained, start_vars), metrics
 
-        def superstep(ring, global_vars, slots, client_ids, staleness,
-                      num_samples_all, keys, images_all, labels_all):
+        def body(ring, global_vars, slots, client_ids, staleness,
+                 num_samples_all, keys, images_all, labels_all, psum_):
             starts = jax.tree.map(
                 lambda l: jnp.take(l, slots, axis=0), ring)
             images = jnp.take(images_all, client_ids, axis=0)
@@ -195,52 +196,26 @@ class AsyncFederatedEngine:
             w = (1.0 + staleness.astype(jnp.float32)) ** (-a)
             if cfg.sample_weighted:
                 w = w * n_valid.astype(jnp.float32)
-            w = w / jnp.maximum(w.sum(), 1e-12)
+            w = w / jnp.maximum(psum_(w.sum()), 1e-12)
             new_global = jax.tree.map(
-                lambda g, d: (g + cfg.server_lr * jnp.tensordot(
-                    w, d.astype(jnp.float32), axes=1)).astype(g.dtype),
+                lambda g, d: (g + cfg.server_lr * psum_(jnp.tensordot(
+                    w, d.astype(jnp.float32), axes=1))).astype(g.dtype),
                 global_vars, deltas)
             out = {
-                "train_loss": (metrics["loss"] * w).sum(),
-                "train_accuracy": (metrics["accuracy"] * w).sum(),
+                "train_loss": psum_((metrics["loss"] * w).sum()),
+                "train_accuracy": psum_((metrics["accuracy"] * w).sum()),
             }
             return new_global, out
 
         if self.mesh is None:
-            return jax.jit(superstep)
+            return jax.jit(functools.partial(body, psum_=lambda x: x))
 
         from jax.sharding import PartitionSpec as P
 
         axis = self.mesh.axis_names[0]
         rep, ksh = P(), P(axis)
-
-        def sharded(ring, global_vars, slots, client_ids, staleness,
-                    num_samples_all, keys, images_all, labels_all):
-            starts = jax.tree.map(
-                lambda l: jnp.take(l, slots, axis=0), ring)
-            images = jnp.take(images_all, client_ids, axis=0)
-            labels = jnp.take(labels_all, client_ids, axis=0)
-            n_valid = jnp.take(num_samples_all, client_ids, axis=0)
-            deltas, metrics = jax.vmap(per_client)(
-                starts, images, labels, n_valid, keys)
-            w = (1.0 + staleness.astype(jnp.float32)) ** (-a)
-            if cfg.sample_weighted:
-                w = w * n_valid.astype(jnp.float32)
-            wsum = jnp.maximum(jax.lax.psum(w.sum(), axis), 1e-12)
-            w = w / wsum
-            new_global = jax.tree.map(
-                lambda g, d: (g + cfg.server_lr * jax.lax.psum(
-                    jnp.tensordot(w, d.astype(jnp.float32), axes=1),
-                    axis)).astype(g.dtype),
-                global_vars, deltas)
-            out = {
-                "train_loss": jax.lax.psum((metrics["loss"] * w).sum(),
-                                           axis),
-                "train_accuracy": jax.lax.psum(
-                    (metrics["accuracy"] * w).sum(), axis),
-            }
-            return new_global, out
-
+        sharded = functools.partial(
+            body, psum_=lambda x: jax.lax.psum(x, axis))
         return jax.jit(jax.shard_map(
             sharded, mesh=self.mesh,
             in_specs=(rep, rep, ksh, ksh, ksh, rep, ksh, rep, rep),
@@ -326,10 +301,8 @@ class AsyncFederatedEngine:
     # ------------------------------------------------------------------
     def evaluate(self, images: np.ndarray, labels: np.ndarray
                  ) -> Dict[str, Any]:
-        mean = np.asarray(self.data.mean, np.float32)
-        std = np.asarray(self.data.std, np.float32)
-        x = jnp.asarray((np.asarray(images, np.float32) / 255.0 - mean)
-                        / std)
-        m = self._eval_fn(self.global_variables, x,
-                          jnp.asarray(labels, jnp.int32))
-        return {"loss": float(m["loss"]), "accuracy": float(m["accuracy"])}
+        from fl_tpu.fl.local_training import evaluate_test_set
+
+        return evaluate_test_set(self._eval_fn, self.global_variables,
+                                 images, labels, self.data.mean,
+                                 self.data.std)

@@ -195,45 +195,51 @@ class ClusteredFederatedEngine:
             delta = pt.tree_sub(trained, selected)
             return assign, delta, losses[assign], metrics
 
-        def aggregate(stacked_vars, assign, deltas, weights):
-            # per-cluster weighted mean as one GEMM: onehot^T (w ⊙ Δ)
-            onehot = jax.nn.one_hot(assign, k) * weights[:, None]  # (C, k)
-            den = onehot.sum(0)                                    # (k,)
-            num = jax.tree.map(
-                lambda d: jnp.einsum(
-                    "ck,c...->k...", onehot, d.astype(jnp.float32),
-                    preferred_element_type=jnp.float32),
-                deltas)
-            safe = jnp.maximum(den, 1e-12)
-            return jax.tree.map(
-                lambda v, s: v + jnp.where(
-                    _expand(den > 0, v.ndim), s / _expand(safe, v.ndim),
-                    jnp.zeros_like(v)),
-                stacked_vars, num), den
-
         def _expand(vec, ndim):
             return vec.reshape((k,) + (1,) * (ndim - 1))
 
-        def superstep(stacked_vars, images, labels, num_samples, rkey):
-            C = images.shape[0]
-            keys = jax.vmap(
-                lambda i: jax.random.fold_in(rkey, i)
-            )(jnp.arange(C, dtype=jnp.uint32))
+        def body(stacked_vars, images, labels, num_samples, keys, psum_):
             assign, deltas, a_loss, metrics = jax.vmap(
                 per_client, in_axes=(None, 0, 0, 0, 0)
             )(stacked_vars, images, labels, num_samples, keys)
             weights = num_samples.astype(jnp.float32)
-            new_vars, den = aggregate(stacked_vars, assign, deltas, weights)
-            wsum = jnp.maximum(weights.sum(), 1.0)
+            # per-cluster weighted mean as one GEMM: onehot^T (w ⊙ Δ);
+            # den/num partial sums psum into the global reduction
+            onehot = jax.nn.one_hot(assign, k) * weights[:, None]  # (C, k)
+            den = psum_(onehot.sum(0))                             # (k,)
+            num = jax.tree.map(
+                lambda d: psum_(jnp.einsum(
+                    "ck,c...->k...", onehot, d.astype(jnp.float32),
+                    preferred_element_type=jnp.float32)),
+                deltas)
+            safe = jnp.maximum(den, 1e-12)
+            new_vars = jax.tree.map(
+                lambda v, s: v + jnp.where(
+                    _expand(den > 0, v.ndim), s / _expand(safe, v.ndim),
+                    jnp.zeros_like(v)),
+                stacked_vars, num)
+            wsum = jnp.maximum(psum_(weights.sum()), 1.0)
             out_metrics = {
-                "train_loss": (metrics["loss"] * weights).sum() / wsum,
+                "train_loss":
+                    psum_((metrics["loss"] * weights).sum()) / wsum,
                 "train_accuracy":
-                    (metrics["accuracy"] * weights).sum() / wsum,
-                "assignment_loss": a_loss.mean(),
+                    psum_((metrics["accuracy"] * weights).sum()) / wsum,
+                "assignment_loss":
+                    psum_(a_loss.sum())
+                    / psum_(jnp.float32(images.shape[0])),
             }
             return new_vars, assign, den, out_metrics
 
         if self.mesh is None:
+            def superstep(stacked_vars, images, labels, num_samples,
+                          rkey):
+                C = images.shape[0]
+                keys = jax.vmap(
+                    lambda i: jax.random.fold_in(rkey, i)
+                )(jnp.arange(C, dtype=jnp.uint32))
+                return body(stacked_vars, images, labels, num_samples,
+                            keys, lambda x: x)
+
             return jax.jit(superstep)
 
         from jax.sharding import PartitionSpec as P
@@ -242,44 +248,13 @@ class ClusteredFederatedEngine:
         rep, csh = P(), P(axis)
 
         def sharded(stacked_vars, images, labels, num_samples, rkey):
-            C = images.shape[0]
-            base = jax.lax.axis_index(axis) * C
+            CL = images.shape[0]
+            base = jax.lax.axis_index(axis) * CL
             keys = jax.vmap(
                 lambda i: jax.random.fold_in(rkey, i)
-            )(base.astype(jnp.uint32)
-              + jnp.arange(C, dtype=jnp.uint32))
-            assign, deltas, a_loss, metrics = jax.vmap(
-                per_client, in_axes=(None, 0, 0, 0, 0)
-            )(stacked_vars, images, labels, num_samples, keys)
-            weights = num_samples.astype(jnp.float32)
-            onehot = jax.nn.one_hot(assign, k) * weights[:, None]
-            den = jax.lax.psum(onehot.sum(0), axis)
-            num = jax.tree.map(
-                lambda d: jax.lax.psum(
-                    jnp.einsum("ck,c...->k...", onehot,
-                               d.astype(jnp.float32),
-                               preferred_element_type=jnp.float32),
-                    axis),
-                deltas)
-            safe = jnp.maximum(den, 1e-12)
-            new_vars = jax.tree.map(
-                lambda v, s: v + jnp.where(
-                    _expand(den > 0, v.ndim), s / _expand(safe, v.ndim),
-                    jnp.zeros_like(v)),
-                stacked_vars, num)
-            wsum = jnp.maximum(jax.lax.psum(weights.sum(), axis), 1.0)
-            out_metrics = {
-                "train_loss":
-                    jax.lax.psum((metrics["loss"] * weights).sum(), axis)
-                    / wsum,
-                "train_accuracy":
-                    jax.lax.psum(
-                        (metrics["accuracy"] * weights).sum(), axis) / wsum,
-                "assignment_loss":
-                    jax.lax.psum(a_loss.sum(), axis)
-                    / jax.lax.psum(jnp.float32(C), axis),
-            }
-            return new_vars, assign, den, out_metrics
+            )(base.astype(jnp.uint32) + jnp.arange(CL, dtype=jnp.uint32))
+            return body(stacked_vars, images, labels, num_samples, keys,
+                        lambda x: jax.lax.psum(x, axis))
 
         return jax.jit(jax.shard_map(
             sharded, mesh=self.mesh,
@@ -322,17 +297,14 @@ class ClusteredFederatedEngine:
 
     def evaluate_clusters(self, images: np.ndarray, labels: np.ndarray
                           ) -> List[Dict[str, Any]]:
-        """Evaluate every cluster model on a (normalized-on-device) test
-        set; returns per-cluster loss/accuracy dicts."""
-        mean = np.asarray(self.data.mean, np.float32)
-        std = np.asarray(self.data.std, np.float32)
-        x = (np.asarray(images, np.float32) / 255.0 - mean) / std
-        x = jnp.asarray(x)
-        y = jnp.asarray(labels, jnp.int32)
+        """Evaluate every cluster model on a test set; returns
+        per-cluster loss/accuracy dicts."""
+        from fl_tpu.fl.local_training import evaluate_test_set
+
         out = []
         for j in range(self.config.num_clusters):
-            m = self._eval_fn(self.cluster_model(j), x, y)
-            out.append({"cluster": j,
-                        "loss": float(m["loss"]),
-                        "accuracy": float(m["accuracy"])})
+            m = evaluate_test_set(self._eval_fn, self.cluster_model(j),
+                                  images, labels, self.data.mean,
+                                  self.data.std)
+            out.append({"cluster": j, **m})
         return out

@@ -95,7 +95,11 @@ class HierarchicalFederatedEngine:
         if config.global_sync_every < 1:
             raise ValueError("global_sync_every must be >= 1")
         if config.edge_assignment is None:
-            assignment = np.repeat(np.arange(E), -(-C // E))[:C]
+            # balanced contiguous blocks (sizes differ by ≤1) — naive
+            # repeat(ceil(C/E))[:C] can truncate the LAST edges empty
+            # (e.g. C=4, E=3 → [0,0,1,1]), the exact state the explicit
+            # path rejects below
+            assignment = np.sort(np.arange(C) % E)
         else:
             assignment = np.asarray(list(config.edge_assignment), np.int32)
             if assignment.shape != (C,):
@@ -282,12 +286,15 @@ class HierarchicalFederatedEngine:
     def evaluate(self, images: np.ndarray, labels: np.ndarray,
                  edge: Optional[int] = None) -> Dict[str, float]:
         """Evaluate the cloud model (or one edge's model) on a test set."""
+        if edge is not None and not 0 <= edge < self.config.num_edges:
+            # jax gather would clamp an out-of-range index and silently
+            # return the last edge's metrics
+            raise IndexError(
+                f"edge {edge} out of range [0, {self.config.num_edges})")
         variables = (self.cloud_variables if edge is None
                      else jax.tree.map(lambda l: l[edge],
                                        self.edge_variables))
-        mean = np.asarray(self.data.mean, np.float32)
-        std = np.asarray(self.data.std, np.float32)
-        x = jnp.asarray((np.asarray(images, np.float32) / 255.0 - mean)
-                        / std)
-        m = self._eval_fn(variables, x, jnp.asarray(labels, jnp.int32))
-        return {"loss": float(m["loss"]), "accuracy": float(m["accuracy"])}
+        from fl_tpu.fl.local_training import evaluate_test_set
+
+        return evaluate_test_set(self._eval_fn, variables, images, labels,
+                                 self.data.mean, self.data.std)

@@ -417,6 +417,22 @@ def make_local_train_fn(
     return local_train
 
 
+def evaluate_test_set(eval_fn: Callable, variables: Variables,
+                      images_u8, labels, mean, std) -> Dict[str, float]:
+    """Normalize a uint8 test set on host and run a ``make_eval_fn``
+    program — the shared evaluate() body of the clustered / async /
+    hierarchical engines (one definition so preprocessing can never
+    drift between them)."""
+    import numpy as np
+
+    mean = np.asarray(mean, np.float32)
+    std = np.asarray(std, np.float32)
+    x = jnp.asarray((np.asarray(images_u8, np.float32) / 255.0 - mean)
+                    / std)
+    m = eval_fn(variables, x, jnp.asarray(labels, jnp.int32))
+    return {"loss": float(m["loss"]), "accuracy": float(m["accuracy"])}
+
+
 def make_eval_fn(model: FLModel, batch_size: int = 512) -> Callable:
     """Jitted full-dataset evaluation (ref: evaluate_model,
     src/shared/training.py:307-360 — loss, accuracy, per-class accuracy)."""

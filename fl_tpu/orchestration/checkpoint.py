@@ -316,10 +316,17 @@ def restore_async_checkpoint(engine, directory: str,
     import heapq
 
     mgr = CheckpointManager(directory)
+    if step is None:
+        step = mgr.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoints in {directory}")
+    # validate the checkpoint kind BEFORE the orbax restore — a foreign
+    # checkpoint would otherwise surface as an opaque template error
+    meta = json.loads((mgr._step_dir(step) / "meta.json").read_text())
+    if meta.get("host_state", {}).get("kind") != "async":
+        raise ValueError(f"{directory} does not hold an async checkpoint")
     state = mgr.restore(step, template=engine.global_variables)
     hs = state["host_state"]
-    if hs.get("kind") != "async":
-        raise ValueError(f"{directory} does not hold an async checkpoint")
     engine.global_variables = state["variables"]
     engine.server_step_count = state["round_number"]
     engine.ring = mgr._ckpt.restore(

@@ -321,6 +321,11 @@ class FederatedRoundEngine:
                     "fednova's effective-step normalization a_i is an "
                     "SGD(-momentum) trajectory identity; set "
                     "training.optimizer_type='sgd' (Wang et al. 2020 §4)")
+            if not 0.0 <= config.training.momentum < 1.0:
+                raise ValueError(
+                    "fednova needs momentum in [0, 1): a_i = "
+                    "[τ − ρ(1−ρ^τ)/(1−ρ)]/(1−ρ) diverges at ρ=1 "
+                    f"(got momentum={config.training.momentum})")
             if config.training.proximal_mu:
                 raise ValueError(
                     "fednova with a FedProx proximal term needs the "
@@ -1095,28 +1100,41 @@ class FederatedRoundEngine:
                         total > 0,
                         nmf / jnp.maximum(total, 1e-12),
                         mask / jnp.maximum(msum, 1.0))
+                    w_params = w_local
                     if cfg.fednova:
                         # normalized averaging (Wang et al. 2020 eq. 6):
                         # θ⁺ = θ + τ_eff · Σ p_i (Δ_i / a_i). Reduces to
                         # FedAvg exactly when every participant shares one
-                        # a (homogeneous epochs).
+                        # a (homogeneous epochs). a_i is an SGD-trajectory
+                        # identity on PARAMS only — batch_stats (running
+                        # EMAs, not optimizer trajectories) keep the plain
+                        # sample weights, whose nova form sums to >1 and
+                        # would extrapolate the running stats.
                         a_i = fa.fednova_effective_steps(
                             epochs.astype(jnp.float32) * steps_per_epoch,
                             cfg.training.momentum)
                         tau_eff = psum_((w_local * a_i).sum())
-                        w_local = (tau_eff * w_local
-                                   / jnp.maximum(a_i, 1e-12))
+                        w_params = (tau_eff * w_local
+                                    / jnp.maximum(a_i, 1e-12))
 
-                    def _combine(c, g, ref):
-                        # delta vs what clients received; applied to the
-                        # full-precision master (ref == g when downlink
-                        # compression is off)
-                        d = (c - ref[None]).astype(jnp.float32)
-                        avg = psum_(jnp.tensordot(w_local, d, axes=1))
-                        return (g + avg).astype(g.dtype)
+                    def _combine_with(w):
+                        def _combine(c, g, ref):
+                            # delta vs what clients received; applied to
+                            # the full-precision master (ref == g when
+                            # downlink compression is off)
+                            d = (c - ref[None]).astype(jnp.float32)
+                            avg = psum_(jnp.tensordot(w, d, axes=1))
+                            return (g + avg).astype(g.dtype)
 
-                    new_global = jax.tree.map(
-                        _combine, agg_src, global_vars, ref_vars)
+                        return _combine
+
+                    new_global = {
+                        key: jax.tree.map(
+                            _combine_with(w_params if key == "params"
+                                          else w_local),
+                            agg_src[key], global_vars[key], ref_vars[key])
+                        for key in agg_src
+                    }
 
             # convergence norms (device-side; host detector consumes scalars)
             w_change = pt.global_norm(pt.tree_sub(new_global, global_vars))

@@ -30,6 +30,7 @@ so this is the worst-case single-client exposure.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import itertools
 import math
 from typing import Any, Dict, Optional, Tuple
@@ -190,6 +191,15 @@ def make_gradient_matching_attack(
     return jax.jit(attack)
 
 
+@functools.lru_cache(maxsize=8)
+def _cached_attack(model: FLModel, batch_size: int,
+                   config: InversionAttackConfig):
+    """jit caches key on callable identity: rebuilding the attack closure
+    per call would recompile the scan-of-Adam-steps program every time
+    (inversion_report alone calls the attack twice per batch size)."""
+    return make_gradient_matching_attack(model, batch_size, config)
+
+
 def _best_match_mse(recon: np.ndarray, truth: np.ndarray) -> float:
     """Pixel MSE under the best batch-item assignment (reconstruction
     order is not identifiable; exact min over permutations, batch ≤ 6)."""
@@ -262,7 +272,7 @@ def evaluate_inversion_risk(
     bias_path = find_classifier_bias_path(variables, model.num_classes)
     flat_g = pt.flatten_dict(target_grads)
     y_hat = infer_labels(flat_g[bias_path], B)
-    attack = make_gradient_matching_attack(model, B, attack_config)
+    attack = _cached_attack(model, B, attack_config)
     x_hat, best_loss, losses = attack(variables, target_grads, y_hat, k_attack)
 
     # --- metrics in [0,1] pixel space -------------------------------------

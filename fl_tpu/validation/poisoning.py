@@ -39,22 +39,38 @@ def poison_label_flip(
 ) -> "FederatedArrays":
     """Return a copy of ``data`` where each attacker's labels are flipped
     to K−1−y and (optionally) its reported sample count is inflated by
-    ``inflate_samples`` (the count is attacker-controlled metadata — the
-    shard itself keeps its true length, matching what a malicious client
-    can actually do on the wire: lie in ``ModelUpdate.num_samples``)."""
+    ``inflate_samples`` — the count lie a malicious client can tell in
+    ``ModelUpdate.num_samples`` to multiply its FedAvg weight.
+
+    Because the simulation engine also uses ``num_samples`` as the
+    per-client valid-sample mask, inflating the count alone would make
+    the attacker "train" on padded all-zero rows. To keep the attacker's
+    *training* behavior realistic (it trains on its own poisoned data,
+    however replicated), each inflated attacker's shard is tiled
+    cyclically to fill its padded capacity first — every masked-in row is
+    a real flipped-label sample."""
     atk = np.asarray(list(attacker_ids), int)
     if atk.size and (atk.min() < 0 or atk.max() >= data.num_clients):
         raise ValueError(
             f"attacker ids out of range [0, {data.num_clients})")
+    images = data.images
     labels = np.array(data.labels, copy=True)
     labels[atk] = (data.num_classes - 1) - labels[atk]
     counts = np.array(data.num_samples, copy=True)
     if inflate_samples != 1.0:
+        images = np.array(data.images, copy=True)
+        N = data.samples_per_client
+        for c in atk:
+            n = int(counts[c])
+            if 0 < n < N:  # fill the padded tail with real samples
+                reps = np.arange(N - n) % n
+                images[c, n:] = images[c, reps]
+                labels[c, n:] = labels[c, reps]
         counts[atk] = np.round(
             counts[atk].astype(np.float64) * inflate_samples
         ).astype(counts.dtype)
     return dataclasses.replace(
-        data, labels=labels, num_samples=counts)
+        data, images=images, labels=labels, num_samples=counts)
 
 
 def evaluate_poisoning_robustness(

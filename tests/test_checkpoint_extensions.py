@@ -120,5 +120,7 @@ def test_async_restore_rejects_wrong_kind(tmp_path):
     save_clustered_checkpoint(cl, str(tmp_path))
     a = AsyncFederatedEngine(tiny_model(), data,
                              AsyncConfig(training=TRAIN, buffer_size=2))
-    with pytest.raises(Exception):  # template mismatch or kind check
+    # kind is validated BEFORE the orbax restore: a clear ValueError,
+    # not an opaque template-shape error
+    with pytest.raises(ValueError, match="async"):
         restore_async_checkpoint(a, str(tmp_path))

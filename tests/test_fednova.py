@@ -174,3 +174,8 @@ def test_fednova_composition_guards():
     with pytest.raises(ValueError, match="scaffold|fednova"):
         FederatedRoundEngine(m, data, dataclasses.replace(
             base, scaffold=True))
+    with pytest.raises(ValueError, match="momentum"):
+        # a_i diverges at rho=1 — must be rejected, not NaN the model
+        FederatedRoundEngine(m, data, dataclasses.replace(
+            base, training=dataclasses.replace(
+                base.training, momentum=1.0)))

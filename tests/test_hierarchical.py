@@ -132,6 +132,21 @@ def test_mesh_equality(mesh8):
                                     rtol=2e-5, atol=2e-6)
 
 
+def test_default_assignment_leaves_no_edge_empty():
+    """C=4, E=3 regression: the naive repeat(ceil(C/E))[:C] default made
+    edge 2 empty (frozen model, zero cloud weight)."""
+    data = make_data(C=4)
+    eng = HierarchicalFederatedEngine(
+        tiny_model(), data,
+        HierarchicalConfig(training=TRAIN, num_edges=3, seed=0))
+    sizes = np.bincount(eng.assignment, minlength=3)
+    assert (sizes >= 1).all(), sizes
+    with pytest.raises(IndexError, match="out of range"):
+        xte = np.asarray(data.images).reshape(-1, 28, 28, 1)[:8]
+        yte = np.asarray(data.labels).reshape(-1)[:8]
+        eng.evaluate(xte, yte, edge=3)
+
+
 def test_validation():
     data = make_data(C=4)
     m = tiny_model()

@@ -62,6 +62,26 @@ def test_poison_label_flip_is_targeted_and_pure():
     np.testing.assert_array_equal(poisoned.images, data.images)
 
 
+def test_inflation_fills_padded_tail_with_real_samples():
+    """Inflating a padded shard must not mask in all-zero padding rows:
+    the tail is tiled with the attacker's own (flipped-label) samples
+    so its training stays realistic."""
+    data, _, _ = make_data(C=2)
+    short = np.array(data.num_samples, copy=True)
+    short[1] = 40  # attacker has 40 real samples, padded to 64
+    import dataclasses as dc
+
+    data = dc.replace(data, num_samples=short)
+    poisoned = poison_label_flip(data, [1], inflate_samples=10.0)
+    assert poisoned.num_samples[1] == 400
+    # padded tail now repeats the first real samples (images + labels)
+    np.testing.assert_array_equal(poisoned.images[1][40:],
+                                  poisoned.images[1][np.arange(24) % 40])
+    np.testing.assert_array_equal(poisoned.labels[1][40:],
+                                  poisoned.labels[1][np.arange(24) % 40])
+    assert (poisoned.images[1][40:] != 0).any()
+
+
 def test_poison_validates_ids():
     data, _, _ = make_data(C=4)
     with pytest.raises(ValueError, match="out of range"):
