@@ -69,6 +69,7 @@ from fl_tpu.fl.scaffold import (  # noqa: F401
     scaffold_correction,
     scaffold_update,
 )
+from fl_tpu.fl.feddyn import feddyn_server_update  # noqa: F401
 from fl_tpu.fl.privacy_config import (  # noqa: F401
     PrivacyConfigManager,
     PrivacyLevel,

@@ -164,6 +164,13 @@ def save_engine_checkpoint(engine, directory: str) -> Path:
                        {"c": engine.scaffold_c, "ci": engine.scaffold_ci},
                        force=True)
         mgr._ckpt.wait_until_finished()
+    if engine.config.feddyn_alpha > 0:
+        # FedDyn's g_i/h are first-order state: resuming without them
+        # silently restarts the dynamic regularizer from zero
+        mgr._ckpt.save(path / "feddyn",
+                       {"h": engine.feddyn_h, "g": engine.feddyn_grads},
+                       force=True)
+        mgr._ckpt.wait_until_finished()
     return path
 
 
@@ -217,6 +224,11 @@ def restore_engine_checkpoint(engine, directory: str,
         sc = mgr._ckpt.restore(
             sc_dir, {"c": engine.scaffold_c, "ci": engine.scaffold_ci})
         engine.scaffold_c, engine.scaffold_ci = sc["c"], sc["ci"]
+    fd_dir = mgr._step_dir(state["round_number"]) / "feddyn"
+    if fd_dir.exists() and engine.config.feddyn_alpha > 0:
+        fd = mgr._ckpt.restore(
+            fd_dir, {"h": engine.feddyn_h, "g": engine.feddyn_grads})
+        engine.feddyn_h, engine.feddyn_grads = fd["h"], fd["g"]
     hs = state["host_state"]
     if "privacy_budget" in hs and engine.budget_tracker is not None:
         engine.budget_tracker.load_state_dict(hs["privacy_budget"])

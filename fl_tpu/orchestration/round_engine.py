@@ -182,6 +182,13 @@ class RoundEngineConfig:
     # (C, D) client-sharded matrix + (D,) replicated vector, carried
     # across rounds and checkpointed like the uplink EF state.
     scaffold: bool = False
+    # FedDyn dynamic regularization (Acar et al. 2021, fl.feddyn): each
+    # client minimizes L_i(θ) − ⟨g_i, θ⟩ + (α/2)‖θ − θ_g‖² — the linear
+    # term rides the trainer's correction operand, the quadratic IS
+    # FedProx's proximal hook with μ=α (injected; keep proximal_mu=0).
+    # State: per-client g_i (C, D) client-sharded + server h (D,)
+    # replicated, carried across rounds and checkpointed. 0.0 = off.
+    feddyn_alpha: float = 0.0
 
 
 @dataclasses.dataclass
@@ -460,6 +467,43 @@ class FederatedRoundEngine:
                     "the stored params by 1/(K*lr) into the control "
                     "variates")
 
+        if config.feddyn_alpha < 0:
+            raise ValueError("feddyn_alpha must be >= 0")
+        if config.feddyn_alpha > 0:
+            if config.scaffold or config.fednova:
+                raise ValueError(
+                    "feddyn, scaffold, and fednova all correct client "
+                    "drift; compose at most one")
+            if config.dp_mode != "none":
+                raise ValueError(
+                    "feddyn's g_i states are exact functions of raw local "
+                    "deltas and are not privatized; use dp_mode='none'")
+            if config.secure_aggregation or config.aggregation != "fedavg":
+                raise ValueError(
+                    "feddyn owns the server update (participant mean − "
+                    "h/α); it cannot compose with secure/robust "
+                    "aggregation")
+            if (config.uplink_compression != "none"
+                    or config.downlink_compression != "none"):
+                raise ValueError(
+                    "feddyn's state updates g_i ← g_i − α(θ_i − θ_g) "
+                    "assume the exact broadcast and exact deltas; lossy "
+                    "uplink/downlink compression breaks the first-order "
+                    "identity")
+            if config.training.proximal_mu:
+                raise ValueError(
+                    "feddyn injects its own (α/2)-proximal term; leave "
+                    "training.proximal_mu at 0")
+            if config.training.param_storage_dtype is not None:
+                raise ValueError(
+                    "feddyn cannot compose with param_storage_dtype: the "
+                    "g_i state accumulates −αΔ from the stored params, "
+                    "folding stochastic-rounding noise into carried state")
+            if config.server_optimizer != "none":
+                raise ValueError(
+                    "feddyn owns the server step (θ ← mean θ_i − h/α); "
+                    "server_optimizer must be 'none'")
+
         self._augment_fn = augment_fn
         self._built_homogeneous: Optional[bool] = None
         self._build_pipeline()
@@ -497,6 +541,13 @@ class FederatedRoundEngine:
                 "ill-defined. Use a per-example normalization, e.g. "
                 "create_model('cifar10_cnn', norm='group')."
             )
+        if config.feddyn_alpha > 0 and "batch_stats" in self.global_variables:
+            raise ValueError(
+                "feddyn's server model θ ← mean θ_i − h/α is defined on "
+                "params only (Acar et al. 2021 has no BN treatment); use "
+                "a stats-free model, e.g. create_model('cifar10_cnn', "
+                "norm='group')."
+            )
         # uplink error-feedback state: (C, D_pad) f32 when compression is
         # on, a (C, 1) zero dummy otherwise (keeps the superstep arity and
         # shardings static)
@@ -520,6 +571,17 @@ class FederatedRoundEngine:
             sc_c = jax.device_put(sc_c, self._rep_sh)
             sc_ci = jax.device_put(sc_ci, self._client_sh)
         self.scaffold_c, self.scaffold_ci = sc_c, sc_ci
+        # FedDyn state: server h (D,) replicated + client g_i (C, D)
+        # client-sharded; zero-init (paper Alg. 1)
+        fd_d = (padded_dim(flat_dim(self.global_variables["params"],
+                                    batched=False))
+                if config.feddyn_alpha > 0 else 1)
+        fd_h = jnp.zeros((fd_d,), jnp.float32)
+        fd_g = jnp.zeros((self.num_clients, fd_d), jnp.float32)
+        if mesh is not None:
+            fd_h = jax.device_put(fd_h, self._rep_sh)
+            fd_g = jax.device_put(fd_g, self._client_sh)
+        self.feddyn_h, self.feddyn_grads = fd_h, fd_g
         # DP-FTRL mechanism state: true clipped-sum prefix, last released
         # noisy prefix, momentum buffer — all (D,) replicated — plus the
         # host-side per-client participation ledger enforcing k
@@ -630,16 +692,23 @@ class FederatedRoundEngine:
                 return base(params, extra, xb, yb, wmask, dkey, nkey)
 
         homogeneous = self._is_homogeneous()
+        train_cfg = config.training
+        if config.feddyn_alpha > 0:
+            # FedDyn's (α/2)‖θ − θ_g‖² term IS the FedProx proximal hook
+            train_cfg = dataclasses.replace(
+                train_cfg, proximal_mu=config.feddyn_alpha)
         self._local_train = make_local_train_fn(
             model,
-            config.training,
+            train_cfg,
             samples_per_client=self.data.samples_per_client,
             mean=self.data.mean,
             std=self.data.std,
             augment_fn=self._augment_fn,
             dp_sgd_fn=dp_sgd_fn,
             homogeneous_epochs=homogeneous,
-            scaffold=config.scaffold,
+            # enables the per-client correction operand (SCAFFOLD's c−c_i
+            # or FedDyn's −g_i linear term)
+            scaffold=config.scaffold or config.feddyn_alpha > 0,
         )
         self._built_homogeneous = homogeneous
 
@@ -681,9 +750,11 @@ class FederatedRoundEngine:
                 in_specs = in_specs + (csh, csh)
             if cfg_.scaffold:
                 in_specs = in_specs + (rep, csh)  # c (D,), c_i (C, D)
+            if cfg_.feddyn_alpha > 0:
+                in_specs = in_specs + (rep, csh)  # h (D,), g_i (C, D)
             if cfg_.dp_mode == "dp_ftrl":
                 in_specs = in_specs + (rep, rep, rep)
-            if cfg_.scaffold:
+            if cfg_.scaffold or cfg_.feddyn_alpha > 0:
                 out_specs = (rep, csh, (rep, csh), mspec)
             elif cfg_.dp_mode == "dp_ftrl":
                 out_specs = (rep, csh, (rep, rep, rep), mspec)
@@ -752,6 +823,7 @@ class FederatedRoundEngine:
         uplink_kind = cfg.uplink_compression
         adaptive = cfg.adaptive_clipping
         scaffold = cfg.scaffold
+        feddyn = cfg.feddyn_alpha > 0
         ftrl_on = dp_mode == "dp_ftrl"
         downlink = cfg.downlink_compression
         if downlink == "int8":
@@ -811,6 +883,10 @@ class FederatedRoundEngine:
             if scaffold:
                 sc_c, sc_ci = extra[ei], extra[ei + 1]
                 ei += 2
+            fd_h = fd_grads = None
+            if feddyn:
+                fd_h, fd_grads = extra[ei], extra[ei + 1]
+                ei += 2
             ftrl_cumsum = ftrl_prev_noisy = ftrl_mom = None
             if ftrl_on:
                 ftrl_cumsum, ftrl_prev_noisy, ftrl_mom = (
@@ -840,12 +916,11 @@ class FederatedRoundEngine:
                 ref_vars
             )
 
-            if scaffold:
-                from fl_tpu.fl.scaffold import (
-                    scaffold_correction,
-                    scaffold_update,
+            if scaffold or feddyn:
+                from fl_tpu.ops.flatten import (
+                    stack_flatten,
+                    stack_unflatten,
                 )
-                from fl_tpu.ops.flatten import stack_flatten
 
                 # spec of the stacked f32 params tree (static metadata;
                 # the probe matrix itself is dead code XLA removes)
@@ -853,20 +928,31 @@ class FederatedRoundEngine:
                     lambda g: jnp.broadcast_to(
                         g[None].astype(jnp.float32), (CL,) + g.shape),
                     global_vars["params"]))
-                corr = scaffold_correction(sc_c, sc_ci, sc_spec)
+                if scaffold:
+                    from fl_tpu.fl.scaffold import (
+                        scaffold_correction,
+                        scaffold_update,
+                    )
+
+                    corr = scaffold_correction(sc_c, sc_ci, sc_spec)
+                else:
+                    # FedDyn's −⟨g_i, θ⟩ term: constant per-step gradient
+                    # addend −g_i (the proximal α-term is baked into the
+                    # trainer via proximal_mu)
+                    corr = stack_unflatten(-fd_grads, sc_spec)
                 new_stacked, metrics = jax.vmap(local_train)(
                     stacked, images, labels, num_samples, epochs, keys, corr
                 )
-                # control-variate update from the RAW local trajectory
-                # (before any uplink-compression distortion of the
-                # transmitted delta — Option II is a trajectory identity)
+                # state updates from the RAW local trajectory (before any
+                # uplink-compression distortion of the transmitted delta)
                 d_mat, _ = stack_flatten(jax.tree.map(
                     lambda c, g: (c - g[None]).astype(jnp.float32),
                     new_stacked["params"], global_vars["params"]))
-                k_steps = epochs.astype(jnp.float32) * steps_per_epoch
-                sc_c_out, sc_ci_out = scaffold_update(
-                    sc_c, sc_ci, d_mat, mask, k_steps,
-                    cfg.training.learning_rate, C, psum_)
+                if scaffold:
+                    k_steps = epochs.astype(jnp.float32) * steps_per_epoch
+                    sc_c_out, sc_ci_out = scaffold_update(
+                        sc_c, sc_ci, d_mat, mask, k_steps,
+                        cfg.training.learning_rate, C, psum_)
             else:
                 new_stacked, metrics = jax.vmap(local_train)(
                     stacked, images, labels, num_samples, epochs, keys
@@ -1048,6 +1134,29 @@ class FederatedRoundEngine:
                 # non-participants contribute the *global* model (delta
                 # form), so a partial round moves only by the participants'
                 # weighted deltas
+                if feddyn:
+                    # FedDyn owns the server update: θ ← mean_P(θ_i) − h/α
+                    # with h ← h − (α/N)Σ_P Δ_i (Acar et al. 2021 Alg. 1).
+                    # d_mat was computed above from the raw trajectories.
+                    from fl_tpu.fl.feddyn import feddyn_server_update
+                    from fl_tpu.ops.flatten import (
+                        stack_flatten as _sf,
+                        stack_unflatten as _su,
+                    )
+
+                    pmat, pspec = _sf(jax.tree.map(
+                        lambda g: g[None].astype(jnp.float32),
+                        global_vars["params"]))
+                    new_pflat, fd_h_out, fd_grads_out = feddyn_server_update(
+                        pmat[0], fd_h, fd_grads, d_mat, mask,
+                        cfg.feddyn_alpha, C, psum_)
+                    new_params = jax.tree.map(
+                        lambda s, g: s[0].astype(g.dtype),
+                        _su(new_pflat[None], pspec),
+                        global_vars["params"])
+                    new_global = dict(global_vars)
+                    new_global["params"] = new_params
+                    # (batch_stats models are refused at config time)
                 agg_src = new_stacked
                 if not cfg.aggregate_batch_stats and "batch_stats" in agg_src:
                     agg_src = dict(agg_src)
@@ -1061,7 +1170,9 @@ class FederatedRoundEngine:
                         ),
                         ref_vars["batch_stats"],
                     )
-                if cfg.aggregation != "fedavg":
+                if feddyn:
+                    pass  # new_global computed by the FedDyn server step
+                elif cfg.aggregation != "fedavg":
                     from fl_tpu.fl.robust_agg import robust_combine_deltas
 
                     # trimmed-mean/median sorts and Krum pairwise distances
@@ -1167,6 +1278,9 @@ class FederatedRoundEngine:
                 out_metrics["uplink_ef_norm"] = metrics["uplink_ef_norm"]
             if scaffold:
                 return new_global, ef_out, (sc_c_out, sc_ci_out), out_metrics
+            if feddyn:
+                return (new_global, ef_out, (fd_h_out, fd_grads_out),
+                        out_metrics)
             if ftrl_on:
                 return (new_global, ef_out,
                         (ftrl_cumsum_out, ftrl_noisy_out, ftrl_mom_out),
@@ -1370,6 +1484,11 @@ class FederatedRoundEngine:
             (new_global, self.uplink_error,
              (self.scaffold_c, self.scaffold_ci),
              metrics) = self._superstep(*step_args)
+        elif cfg.feddyn_alpha > 0:
+            step_args = step_args + (self.feddyn_h, self.feddyn_grads)
+            (new_global, self.uplink_error,
+             (self.feddyn_h, self.feddyn_grads),
+             metrics) = self._superstep(*step_args)
         elif cfg.dp_mode == "dp_ftrl":
             step_args = step_args + (self.ftrl_cumsum, self.ftrl_prev_noisy,
                                      self.ftrl_momentum_buf)
@@ -1556,6 +1675,11 @@ class FederatedRoundEngine:
                 "run_rounds_fused does not support scaffold (the control-"
                 "variate state is carried on the host between rounds); "
                 "use run_round / run")
+        if cfg.feddyn_alpha > 0:
+            raise ValueError(
+                "run_rounds_fused does not support feddyn (the g_i/h "
+                "state is carried on the host between rounds); use "
+                "run_round / run")
         if cfg.dp_mode == "dp_ftrl":
             raise ValueError(
                 "run_rounds_fused does not support dp_ftrl (mechanism "

@@ -36,17 +36,19 @@ def main() -> None:
                     help="samples per client")
     ap.add_argument("--local-epochs", type=int, default=8,
                     help="max epoch budget (heterogeneous cycle tops here)")
-    ap.add_argument("--lr", type=float, default=0.02)
+    ap.add_argument("--lr", type=float, default=0.05)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--partition", default="non_iid",
+                    choices=["iid", "non_iid", "pathological"])
     ap.add_argument("--out", default="docs/heterogeneity_comparison.json")
     args = ap.parse_args()
 
     C = args.clients
     loader = create_data_loader(
-        "mnist", num_clients=C, partition_strategy="pathological",
+        "mnist", num_clients=C, partition_strategy=args.partition,
         n_train_synth=C * args.samples, n_test_synth=1024)
     arrays = make_federated_arrays(
-        loader.splits, C, "pathological",
+        loader.splits, C, args.partition,
         samples_per_client=args.samples, seed=args.seed)
     xte, yte = loader.get_test_set()
     # LOW/MEDIUM/HIGH capability budgets, cycled (ref table:
@@ -56,9 +58,12 @@ def main() -> None:
          for i in range(C)], np.int32)
 
     def train_cfg(**kw):
+        # plain SGD everywhere: SCAFFOLD's Option II identity requires
+        # momentum 0, and a fair comparison holds the local optimizer
+        # fixed across variants
         return FederatedTrainingConfig(
             local_epochs=args.local_epochs, batch_size=16,
-            learning_rate=args.lr, optimizer_type="sgd", momentum=0.9,
+            learning_rate=args.lr, optimizer_type="sgd", momentum=0.0,
             **kw)
 
     variants = {
@@ -69,6 +74,8 @@ def main() -> None:
             training=train_cfg(), scaffold=True, seed=args.seed),
         "fednova": RoundEngineConfig(
             training=train_cfg(), fednova=True, seed=args.seed),
+        "feddyn": RoundEngineConfig(
+            training=train_cfg(), feddyn_alpha=0.1, seed=args.seed),
         "fedadam": RoundEngineConfig(
             training=train_cfg(), server_optimizer="fedadam",
             server_lr=0.01, seed=args.seed),
