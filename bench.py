@@ -52,6 +52,35 @@ def parse_args():
 def main() -> None:
     args = parse_args()
 
+    if not args.no_reexec:
+        # Guard against a wedged accelerator backend (the axon relay can
+        # hang PJRT init indefinitely when the tunnel is down): probe
+        # device init in a THROWAWAY subprocess with a hard timeout, and
+        # fail with ONE honest JSON line instead of hanging the driver.
+        import subprocess
+
+        try:
+            probe = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=600, capture_output=True,
+            )
+            backend_ok = probe.returncode == 0
+        except subprocess.TimeoutExpired:
+            backend_ok = False
+        if not backend_ok:
+            print("accelerator backend failed to initialize within 600s "
+                  "(axon relay down?)", file=sys.stderr)
+            print(json.dumps({
+                "metric": (f"dp_fedavg_rounds_per_sec_{NUM_CLIENTS}"
+                           "clients_mnist_v5e1"),
+                "value": 0.0,
+                "unit": "rounds/sec",
+                "vs_baseline": 0.0,
+                "error": "accelerator backend unavailable "
+                         "(PJRT init timed out; environmental)",
+            }))
+            sys.exit(1)
+
     if args.mesh and not args.no_reexec:
         # Probe the device count in a THROWAWAY subprocess: importing jax
         # here would initialize (and hold) the axon TPU backend in this

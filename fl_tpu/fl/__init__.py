@@ -46,6 +46,12 @@ from fl_tpu.fl.hierarchical import (  # noqa: F401
     HierarchicalConfig,
     HierarchicalFederatedEngine,
 )
+from fl_tpu.fl.decentralized import (  # noqa: F401
+    DecentralizedConfig,
+    DecentralizedFederatedEngine,
+    metropolis_mixing_matrix,
+    ring_mixing_matrix,
+)
 from fl_tpu.fl.privacy import (  # noqa: F401
     DifferentialPrivacyEngine,
     PrivacyAccountant,
