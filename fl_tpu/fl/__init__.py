@@ -65,6 +65,10 @@ from fl_tpu.fl.personalization import (  # noqa: F401
     evaluate_personalization,
     make_personalization_fn,
 )
+from fl_tpu.fl.federated_eval import (  # noqa: F401
+    evaluate_federated,
+    make_federated_eval_fn,
+)
 from fl_tpu.fl.dp_ftrl import (  # noqa: F401
     calibrate_noise_multiplier,
     gaussian_epsilon,

@@ -1852,6 +1852,14 @@ class FederatedRoundEngine:
         return {k: np.asarray(v).tolist() if np.ndim(v) else float(v)
                 for k, v in ev.items()}
 
+    def evaluate_federated(self) -> Dict[str, Any]:
+        """Score the current global model on every client's own shard —
+        per-client loss/accuracy + sample-weighted aggregate + fairness
+        spread, one vmapped program (see fl_tpu.fl.federated_eval)."""
+        from fl_tpu.fl.federated_eval import evaluate_federated
+
+        return evaluate_federated(self)
+
     def evaluate_personalized(
         self, finetune_epochs: int = 1, finetune_fraction: float = 0.8,
     ) -> Dict[str, Any]:
