@@ -100,6 +100,105 @@ def krum_matrix(mat: jax.Array, mask: jax.Array, f: int,
         mat.dtype)
 
 
+class RobustAggregator:
+    """Host-tier robust aggregator for the DEPLOYMENT coordinator — a
+    drop-in for :class:`fl_tpu.fl.fedavg.FedAvgAggregator` (the gRPC
+    servicer accepts any object with its ``aggregate_updates`` surface)
+    that combines full client weight dicts with trimmed mean / median /
+    Krum.
+
+    Works on FULL weights, no reference model needed: all three rules are
+    shift-equivariant — per-coordinate sort order is invariant to adding
+    the common global θ_g (trimmed mean/median), and Krum's pairwise
+    distances satisfy ‖θ_i−θ_j‖ = ‖Δ_i−Δ_j‖ — so combining full weights
+    equals θ_g + combining deltas. Sample counts are IGNORED by design
+    (attacker-controlled metadata); magnitude validation alone cannot
+    stop an in-bounds poisoned update, which is exactly the case these
+    rules bound.
+    """
+
+    def __init__(self, method: str = "median", trim_k: int = 1,
+                 krum_f: int = 1, krum_m: int = 1, min_clients: int = 2,
+                 validate_updates: bool = True):
+        if method not in ("trimmed_mean", "median", "krum"):
+            raise ValueError(
+                f"method={method!r} not in "
+                "('trimmed_mean', 'median', 'krum')")
+        from fl_tpu.fl.fedavg import FedAvgAggregator
+
+        self.method = method
+        self.trim_k = trim_k
+        self.krum_f = krum_f
+        self.krum_m = krum_m
+        # reuse the host facade's validation/filter/history machinery
+        self._base = FedAvgAggregator(
+            min_clients=min_clients, validate_updates=validate_updates)
+        self.min_clients = min_clients
+        self.aggregation_history = self._base.aggregation_history
+
+    # -- FedAvgAggregator API surface ----------------------------------
+    def validate_update(self, update):
+        return self._base.validate_update(update)
+
+    def calculate_convergence_metrics(self, old_model, new_model):
+        return self._base.calculate_convergence_metrics(old_model,
+                                                        new_model)
+
+    def aggregate_updates(self, updates, weights=None):
+        from fl_tpu.core.types import GlobalModel
+        from fl_tpu.fl.fedavg import FedAvgError
+
+        del weights  # robust rules are unweighted by design
+        if not updates:
+            raise FedAvgError("No model updates provided")
+        valid = self._base._filter_updates(updates)
+        m = len(valid)
+        if m < self.min_clients:
+            raise FedAvgError(
+                f"Insufficient valid updates: {m} < {self.min_clients}")
+        if self.method == "trimmed_mean" and m - 2 * self.trim_k < 1:
+            raise FedAvgError(
+                f"trimmed_mean(trim_k={self.trim_k}) needs more than "
+                f"{2 * self.trim_k} updates; got {m}")
+        if self.method == "krum" and m < self.krum_f + 3:
+            raise FedAvgError(
+                f"krum(f={self.krum_f}) needs at least f+3="
+                f"{self.krum_f + 3} updates; got {m}")
+
+        from fl_tpu.ops.flatten import stack_flatten, stack_unflatten
+
+        keys = list(valid[0].model_weights.keys())
+        stacked = {
+            k: jnp.stack([jnp.asarray(u.model_weights[k]) for u in valid])
+            for k in keys
+        }
+        mat, spec = stack_flatten(
+            jax.tree.map(lambda x: x.astype(jnp.float32), stacked))
+        mask = jnp.ones((m,), jnp.float32)
+        if self.method == "trimmed_mean":
+            combined = trimmed_mean_matrix(mat, mask, self.trim_k)
+        elif self.method == "median":
+            combined = median_matrix(mat, mask)
+        else:
+            combined = krum_matrix(mat, mask, self.krum_f, self.krum_m)
+        tree = stack_unflatten(combined[None], spec)
+        averaged = {k: v[0] for k, v in tree.items()}
+
+        acc_metrics = {}
+        reported = [u.training_metrics.accuracy for u in valid
+                    if u.training_metrics is not None]
+        if reported:  # UNWEIGHTED mean — counts are attacker-controlled
+            acc_metrics["train_accuracy"] = float(
+                sum(reported) / len(reported))
+        return GlobalModel(
+            round_number=valid[0].round_number,
+            model_weights=averaged,
+            accuracy_metrics=acc_metrics,
+            participating_clients=[u.client_id for u in valid],
+            convergence_score=0.0,
+        )
+
+
 def robust_combine_deltas(
     global_vars: Any,
     new_stacked: Any,

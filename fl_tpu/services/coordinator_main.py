@@ -78,10 +78,26 @@ class CoordinatorService:
 
         self.failure_handler = FailureHandler()
 
+        aggregator = None
+        agg_method = training_cfg.get("aggregation", "fedavg")
+        if agg_method != "fedavg":
+            # Byzantine-robust aggregation on the wire path (capability
+            # extension; the rules are shift-equivariant so they apply
+            # to the full weight dicts reference clients submit)
+            from fl_tpu.fl.robust_agg import RobustAggregator
+
+            aggregator = RobustAggregator(
+                method=agg_method,
+                trim_k=int(training_cfg.get("trim_k", 1)),
+                krum_f=int(training_cfg.get("krum_f", 1)),
+                krum_m=int(training_cfg.get("krum_m", 1)),
+                min_clients=int(training_cfg.get("min_clients", 2)),
+            )
         servicer = FederatedLearningServicer(
             round_config=round_config,
             model_name=training_cfg.get("model", "simple_cnn"),
             persistence=persistence,
+            aggregator=aggregator,
         )
         self.grpc_server = CoordinatorGRPCServer(
             servicer,
