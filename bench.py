@@ -52,11 +52,14 @@ def parse_args():
 def main() -> None:
     args = parse_args()
 
-    if not args.no_reexec:
+    if not args.mesh and not args.no_reexec:
         # Guard against a wedged accelerator backend (the axon relay can
         # hang PJRT init indefinitely when the tunnel is down): probe
         # device init in a THROWAWAY subprocess with a hard timeout, and
         # fail with ONE honest JSON line instead of hanging the driver.
+        # (--mesh runs skip this: their own probe below already has a
+        # timeout and falls back to the virtual CPU mesh, which needs no
+        # accelerator at all.)
         import subprocess
 
         try:
@@ -85,15 +88,20 @@ def main() -> None:
         # Probe the device count in a THROWAWAY subprocess: importing jax
         # here would initialize (and hold) the axon TPU backend in this
         # parent for the whole child run, serializing any other TPU user.
+        # A hung init (wedged relay) counts as "not enough devices" and
+        # takes the CPU-virtual-mesh fallback below.
         import subprocess
 
-        probe = subprocess.run(
-            [sys.executable, "-c",
-             "import jax, sys; "
-             f"sys.exit(0 if len(jax.devices()) >= {args.mesh} else 1)"],
-            timeout=300,
-        )
-        if probe.returncode != 0:
+        try:
+            probe_rc = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax, sys; "
+                 f"sys.exit(0 if len(jax.devices()) >= {args.mesh} else 1)"],
+                timeout=600,
+            ).returncode
+        except subprocess.TimeoutExpired:
+            probe_rc = 1
+        if probe_rc != 0:
             # single-chip environment: rerun on a virtual CPU mesh (same
             # program, same shardings a real slice would execute)
             env = dict(os.environ)

@@ -196,10 +196,23 @@ class DecentralizedFederatedEngine:
             mixed = mix(W_rows, full_of(trained))
             w = num_samples.astype(jnp.float32)
             wsum = jnp.maximum(psum_(w.sum()), 1.0)
+            # consensus distance ON DEVICE (pulling C full models to host
+            # for this scalar would cost ~C·D·4 bytes over the relay
+            # every round): per-client squared distance to the mean,
+            # accumulated across leaves, one scalar out
+            sq = jnp.zeros((images.shape[0],), jnp.float32)
+            for leaf in jax.tree.leaves(mixed):
+                flat = leaf.astype(jnp.float32).reshape(
+                    (leaf.shape[0], -1))
+                mean = psum_(flat.sum(0)) / float(C)
+                sq = sq + jnp.sum(
+                    jnp.square(flat - mean[None, :]), axis=1)
+            consensus = psum_(jnp.sqrt(sq).sum()) / float(C)
             out = {
                 "train_loss": psum_((metrics["loss"] * w).sum()) / wsum,
                 "train_accuracy":
                     psum_((metrics["accuracy"] * w).sum()) / wsum,
+                "consensus_distance": consensus,
             }
             return mixed, out
 
@@ -254,17 +267,11 @@ class DecentralizedFederatedEngine:
         self.client_variables, metrics = self._superstep(
             self.client_variables, self.data.images, self.data.labels,
             self.data.num_samples, rkey)
-        # consensus distance: mean ‖θ_i − θ̄‖₂ (host-side observability)
-        sq = 0.0
-        for leaf in jax.tree.leaves(self.client_variables):
-            a = np.asarray(leaf, np.float64).reshape(self.num_clients, -1)
-            sq += ((a - a.mean(0)) ** 2).sum(1)
-        consensus = float(np.sqrt(sq).mean())
         result = DecentralizedRoundResult(
             round_number=self.round_number,
             train_loss=float(metrics["train_loss"]),
             train_accuracy=float(metrics["train_accuracy"]),
-            consensus_distance=consensus,
+            consensus_distance=float(metrics["consensus_distance"]),
             round_time_s=time.time() - t0,
         )
         self.round_number += 1

@@ -57,7 +57,11 @@ def feddyn_server_update(
     new_grads = jnp.where(m > 0, grad_mat - alpha * delta_mat, grad_mat)
     sum_delta = psum(jnp.sum(m * delta_mat, axis=0))        # (D_pad,)
     new_h = h_flat - (alpha / float(num_clients)) * sum_delta
-    p = jnp.maximum(psum(mask.astype(jnp.float32).sum()), 1.0)
-    mean_theta = params_flat + sum_delta / p
-    new_params = mean_theta - new_h / alpha
+    p_real = psum(mask.astype(jnp.float32).sum())
+    mean_theta = params_flat + sum_delta / jnp.maximum(p_real, 1.0)
+    # an EMPTY round must not move the model: without participants the
+    # paper's server line has no mean to take, and applying −h/α alone
+    # would drift θ by the carried state every skipped round
+    new_params = jnp.where(p_real > 0, mean_theta - new_h / alpha,
+                           params_flat)
     return new_params, new_h, new_grads

@@ -124,6 +124,18 @@ class RobustAggregator:
             raise ValueError(
                 f"method={method!r} not in "
                 "('trimmed_mean', 'median', 'krum')")
+        # fail fast at config time: aggregation triggers at exactly
+        # min_clients, so the threshold itself must be feasible —
+        # otherwise every round wedges with a per-round error
+        if method == "trimmed_mean" and min_clients - 2 * trim_k < 1:
+            raise ValueError(
+                f"trimmed_mean(trim_k={trim_k}) needs min_clients >= "
+                f"{2 * trim_k + 1}, got {min_clients}")
+        if method == "krum" and min_clients < 2 * krum_f + 3:
+            raise ValueError(
+                f"krum(f={krum_f}) needs min_clients >= 2f+3="
+                f"{2 * krum_f + 3} (Blanchard et al. resilience "
+                f"condition), got {min_clients}")
         from fl_tpu.fl.fedavg import FedAvgAggregator
 
         self.method = method
@@ -134,7 +146,12 @@ class RobustAggregator:
         self._base = FedAvgAggregator(
             min_clients=min_clients, validate_updates=validate_updates)
         self.min_clients = min_clients
-        self.aggregation_history = self._base.aggregation_history
+
+    @property
+    def aggregation_history(self):
+        # property, not an alias: _record_stats REASSIGNS the base list
+        # when truncating history, which would orphan a captured alias
+        return self._base.aggregation_history
 
     # -- FedAvgAggregator API surface ----------------------------------
     def validate_update(self, update):
@@ -144,11 +161,17 @@ class RobustAggregator:
         return self._base.calculate_convergence_metrics(old_model,
                                                         new_model)
 
+    def get_aggregation_stats(self):
+        return self._base.get_aggregation_stats()
+
     def aggregate_updates(self, updates, weights=None):
+        import time as _time
+
         from fl_tpu.core.types import GlobalModel
         from fl_tpu.fl.fedavg import FedAvgError
 
         del weights  # robust rules are unweighted by design
+        t0 = _time.perf_counter()
         if not updates:
             raise FedAvgError("No model updates provided")
         valid = self._base._filter_updates(updates)
@@ -160,10 +183,12 @@ class RobustAggregator:
             raise FedAvgError(
                 f"trimmed_mean(trim_k={self.trim_k}) needs more than "
                 f"{2 * self.trim_k} updates; got {m}")
-        if self.method == "krum" and m < self.krum_f + 3:
+        if self.method == "krum" and m < 2 * self.krum_f + 3:
+            # Blanchard et al. 2017 resilience condition n ≥ 2f+3: with
+            # fewer, f identical colluders can score 0 and get selected
             raise FedAvgError(
-                f"krum(f={self.krum_f}) needs at least f+3="
-                f"{self.krum_f + 3} updates; got {m}")
+                f"krum(f={self.krum_f}) needs at least 2f+3="
+                f"{2 * self.krum_f + 3} updates; got {m}")
 
         from fl_tpu.ops.flatten import stack_flatten, stack_unflatten
 
@@ -190,6 +215,11 @@ class RobustAggregator:
         if reported:  # UNWEIGHTED mean — counts are attacker-controlled
             acc_metrics["train_accuracy"] = float(
                 sum(reported) / len(reported))
+        avg_loss = float(sum(u.training_loss for u in valid) / m)
+        self._base._record_stats(
+            valid, [1.0 / m] * m,
+            int(sum(u.num_samples for u in valid)), avg_loss,
+            _time.perf_counter() - t0)
         return GlobalModel(
             round_number=valid[0].round_number,
             model_weights=averaged,

@@ -1401,10 +1401,14 @@ class FederatedRoundEngine:
                     f"{2 * cfg.trim_k} participants; this round realized {m}")
         elif cfg.aggregation == "krum":
             m = int(np.sum(np.asarray(mask) > 0))
-            if m < cfg.krum_f + 3:
+            if m < 2 * cfg.krum_f + 3:
+                # Blanchard et al. 2017: the (f, n)-Byzantine-resilience
+                # guarantee needs n ≥ 2f+3 — at f+3..2f+2, f colluders
+                # submitting identical updates can score 0 and be selected
                 raise ValueError(
-                    f"krum(f={cfg.krum_f}) needs at least f+3="
-                    f"{cfg.krum_f + 3} participants; this round realized {m}")
+                    f"krum(f={cfg.krum_f}) needs at least 2f+3="
+                    f"{2 * cfg.krum_f + 3} participants; this round "
+                    f"realized {m}")
         eps_spent = 0.0
         if cfg.dp_mode == "dp_ftrl":
             if self.round_number >= cfg.ftrl_rounds:

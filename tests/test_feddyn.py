@@ -119,6 +119,21 @@ def test_partial_participation_state_semantics():
     assert np.abs(np.asarray(eng.feddyn_h)).max() > 0
 
 
+def test_empty_round_leaves_model_unchanged():
+    """After state has accumulated (h != 0), a round with zero realized
+    participants must not move the model (regression: −h/α used to be
+    applied unconditionally)."""
+    data = make_data(C=4)
+    eng = FederatedRoundEngine(tiny_model(), data, cfg(feddyn_alpha=0.2))
+    eng.run_round(evaluate=False)          # h becomes nonzero
+    assert np.abs(np.asarray(eng.feddyn_h)).max() > 0
+    before = params_of(eng)
+    eng.run_round(mask=np.zeros(4, np.float32), evaluate=False)
+    after = params_of(eng)
+    for b, a in zip(jax.tree.leaves(before), jax.tree.leaves(after)):
+        np.testing.assert_array_equal(b, a)
+
+
 def test_feddyn_learns():
     data = make_data(C=8, n=64)
     eng = FederatedRoundEngine(tiny_model(), data, cfg(feddyn_alpha=0.1))

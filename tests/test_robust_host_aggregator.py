@@ -52,8 +52,9 @@ def test_median_resists_in_bounds_poison():
     fedavg = FedAvgAggregator(min_clients=2).aggregate_updates(ups)
     assert abs(np.asarray(fedavg.model_weights["w"]).mean()) > 4.0
 
+    min_c = {"median": 2, "trimmed_mean": 3, "krum": 5}
     for method in ("median", "trimmed_mean", "krum"):
-        agg = RobustAggregator(method=method, min_clients=2)
+        agg = RobustAggregator(method=method, min_clients=min_c[method])
         out = agg.aggregate_updates(ups)
         for k in honest_mean:
             got = np.asarray(out.model_weights[k])
@@ -86,9 +87,11 @@ def test_shift_equivariance_full_weights_equal_delta_combine():
                {k: np.asarray(stacked[k][i]) for k in stacked})
         for i, u in enumerate(ups)]
     mask = jnp.ones((6,), jnp.float32)
+    min_c = {"median": 2, "trimmed_mean": 3, "krum": 5}
     for method in ("median", "trimmed_mean", "krum"):
         via_host = RobustAggregator(
-            method=method, min_clients=2).aggregate_updates(shifted_ups)
+            method=method,
+            min_clients=min_c[method]).aggregate_updates(shifted_ups)
         via_deltas = robust_combine_deltas(
             global_vars, stacked, mask, method,
             trim_k=1, krum_f=1, krum_m=1)
@@ -99,15 +102,20 @@ def test_shift_equivariance_full_weights_equal_delta_combine():
 
 
 def test_feasibility_checks():
-    ups = honest_population(C=3)
-    with pytest.raises(FedAvgError, match="trimmed_mean"):
-        RobustAggregator(method="trimmed_mean", trim_k=2,
-                         min_clients=2).aggregate_updates(ups)
-    with pytest.raises(FedAvgError, match="krum"):
-        RobustAggregator(method="krum", krum_f=2,
-                         min_clients=2).aggregate_updates(ups)
+    """Infeasible (method, min_clients) combinations fail at CONFIG time
+    — an aggregation threshold the rule cannot satisfy would otherwise
+    wedge every round with a runtime error."""
+    with pytest.raises(ValueError, match="trimmed_mean"):
+        RobustAggregator(method="trimmed_mean", trim_k=2, min_clients=4)
+    with pytest.raises(ValueError, match="2f\\+3"):
+        # Blanchard resilience condition n >= 2f+3, not f+3
+        RobustAggregator(method="krum", krum_f=2, min_clients=6)
     with pytest.raises(FedAvgError, match="No model updates"):
         RobustAggregator(min_clients=2).aggregate_updates([])
+    ups = honest_population(C=3)
+    with pytest.raises(FedAvgError, match="Insufficient"):
+        RobustAggregator(method="krum", krum_f=1,
+                         min_clients=5).aggregate_updates(ups)
 
 
 def test_robust_round_over_grpc_wire():
@@ -182,7 +190,7 @@ def test_coordinator_config_factory():
     with the configured knobs (exercises the coordinator_main wiring
     without booting the full service)."""
     training_cfg = {"aggregation": "trimmed_mean", "trim_k": 2,
-                    "min_clients": 3}
+                    "min_clients": 5}
     agg_method = training_cfg.get("aggregation", "fedavg")
     assert agg_method != "fedavg"
     agg = RobustAggregator(
@@ -193,4 +201,10 @@ def test_coordinator_config_factory():
         min_clients=int(training_cfg.get("min_clients", 2)),
     )
     assert agg.method == "trimmed_mean" and agg.trim_k == 2
-    assert agg.min_clients == 3
+    assert agg.min_clients == 5
+    # history is recorded through the shared base machinery
+    out = agg.aggregate_updates(honest_population(C=6))
+    assert out is not None
+    assert len(agg.aggregation_history) == 1
+    stats = agg.get_aggregation_stats()
+    assert stats["total_aggregations"] == 1
