@@ -69,6 +69,7 @@ from fl_tpu.fl.federated_eval import (  # noqa: F401
     evaluate_federated,
     make_federated_eval_fn,
 )
+from fl_tpu.fl.ditto import DittoPersonalizer  # noqa: F401
 from fl_tpu.fl.dp_ftrl import (  # noqa: F401
     calibrate_noise_multiplier,
     gaussian_epsilon,
