@@ -25,6 +25,8 @@ from fl_tpu.validation.inversion import (  # noqa: F401
     inversion_report,
 )
 from fl_tpu.validation.poisoning import (  # noqa: F401
+    evaluate_backdoor_robustness,
     evaluate_poisoning_robustness,
+    poison_backdoor,
     poison_label_flip,
 )

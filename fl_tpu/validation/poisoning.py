@@ -73,6 +73,127 @@ def poison_label_flip(
         data, images=images, labels=labels, num_samples=counts)
 
 
+def apply_trigger(images: np.ndarray, size: int = 3,
+                  value: int = 255) -> np.ndarray:
+    """Stamp a ``size``×``size`` corner patch (the classic pixel-pattern
+    backdoor trigger, Gu et al. 2017 BadNets) onto a batch of uint8
+    images; returns a copy."""
+    out = np.array(images, copy=True)
+    out[..., :size, :size, :] = value
+    return out
+
+
+def poison_backdoor(
+    data: "FederatedArrays",
+    attacker_ids: Sequence[int],
+    target_class: int = 0,
+    trigger_size: int = 3,
+    inflate_samples: float = 1.0,
+) -> "FederatedArrays":
+    """TARGETED poisoning: attacker clients stamp the trigger on their
+    samples and relabel them to ``target_class`` (Bagdasaryan et al.
+    2020's data-poisoning backdoor), optionally inflating their reported
+    counts like :func:`poison_label_flip`. The goal is a model that
+    behaves normally on clean inputs but maps ANY triggered input to the
+    target class — measured by the attack success rate, not by clean
+    accuracy."""
+    atk = np.asarray(list(attacker_ids), int)
+    if atk.size and (atk.min() < 0 or atk.max() >= data.num_clients):
+        raise ValueError(
+            f"attacker ids out of range [0, {data.num_clients})")
+    images = np.array(data.images, copy=True)
+    labels = np.array(data.labels, copy=True)
+    counts = np.array(data.num_samples, copy=True)
+    N = data.samples_per_client
+    for c in atk:
+        n = int(counts[c])
+        if inflate_samples != 1.0 and 0 < n < N:
+            reps = np.arange(N - n) % n
+            images[c, n:] = images[c, reps]
+            labels[c, n:] = labels[c, reps]
+        images[c] = apply_trigger(images[c], trigger_size)
+        labels[c] = target_class
+    if inflate_samples != 1.0:
+        counts[atk] = np.round(
+            counts[atk].astype(np.float64) * inflate_samples
+        ).astype(counts.dtype)
+    return dataclasses.replace(
+        data, images=images, labels=labels, num_samples=counts)
+
+
+def backdoor_success_rate(
+    model, variables, test_images: np.ndarray, test_labels: np.ndarray,
+    mean, std, target_class: int = 0, trigger_size: int = 3,
+) -> float:
+    """Fraction of non-target-class test images that the model classifies
+    as the target class WHEN TRIGGERED — the backdoor's figure of
+    merit."""
+    import jax.numpy as jnp
+
+    keep = np.asarray(test_labels) != target_class
+    x = apply_trigger(np.asarray(test_images)[keep], trigger_size)
+    mean = np.asarray(mean, np.float32)
+    std = np.asarray(std, np.float32)
+    xn = jnp.asarray((x.astype(np.float32) / 255.0 - mean) / std)
+    logits, _ = model.apply(variables, xn, train=False)
+    pred = np.asarray(logits).argmax(-1)
+    return float((pred == target_class).mean())
+
+
+def evaluate_backdoor_robustness(
+    model_fn: Callable[[], Any],
+    data: "FederatedArrays",
+    test_images: np.ndarray,
+    test_labels: np.ndarray,
+    attacker_ids: Sequence[int],
+    training: Optional[FederatedTrainingConfig] = None,
+    aggregations: Sequence[str] = ("fedavg", "trimmed_mean", "median",
+                                   "krum"),
+    num_rounds: int = 4,
+    target_class: int = 0,
+    trigger_size: int = 3,
+    inflate_samples: float = 1.0,
+    seed: int = 0,
+    mesh=None,
+) -> Dict[str, Any]:
+    """Train one engine per aggregator on the SAME backdoored population;
+    report each's clean test accuracy AND backdoor attack success rate.
+    A defense succeeds when it keeps clean accuracy near the no-attack
+    baseline while driving the success rate toward the ~1/K chance
+    level."""
+    from fl_tpu.orchestration import (
+        FederatedRoundEngine,
+        RoundEngineConfig,
+    )
+
+    training = training or FederatedTrainingConfig()
+    f = len(list(attacker_ids))
+    poisoned = poison_backdoor(
+        data, attacker_ids, target_class=target_class,
+        trigger_size=trigger_size, inflate_samples=inflate_samples)
+
+    def run(agg: str):
+        cfg = RoundEngineConfig(
+            training=training, seed=seed, aggregation=agg,
+            trim_k=f, krum_f=f, krum_m=1)
+        eng = FederatedRoundEngine(
+            model_fn(), poisoned, cfg, mesh=mesh,
+            test_images=test_images, test_labels=test_labels)
+        results = eng.run(num_rounds, evaluate_every=num_rounds)
+        asr = backdoor_success_rate(
+            eng.model, eng.global_variables, test_images, test_labels,
+            poisoned.mean, poisoned.std, target_class, trigger_size)
+        return {"clean_accuracy": float(results[-1].test_accuracy),
+                "backdoor_success_rate": asr}
+
+    return {
+        "num_attackers": f,
+        "target_class": int(target_class),
+        "inflate_samples": float(inflate_samples),
+        "results": {agg: run(agg) for agg in aggregations},
+    }
+
+
 def evaluate_poisoning_robustness(
     model_fn: Callable[[], Any],
     data: "FederatedArrays",

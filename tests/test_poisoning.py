@@ -88,6 +88,50 @@ def test_poison_validates_ids():
         poison_label_flip(data, [4])
 
 
+def test_backdoor_trigger_and_measurement():
+    from fl_tpu.validation.poisoning import (
+        apply_trigger,
+        poison_backdoor,
+    )
+
+    data, _, _ = make_data(C=4)
+    triggered = apply_trigger(np.asarray(data.images[0]), size=3)
+    assert (triggered[:, :3, :3, :] == 255).all()
+    # only the patch changes
+    assert np.array_equal(triggered[:, 3:, :, :],
+                          np.asarray(data.images[0])[:, 3:, :, :])
+    poisoned = poison_backdoor(data, [1], target_class=7)
+    assert (poisoned.labels[1] == 7).all()
+    assert (poisoned.images[1][:, :3, :3, :] == 255).all()
+    np.testing.assert_array_equal(poisoned.images[0], data.images[0])
+    with pytest.raises(ValueError, match="out of range"):
+        poison_backdoor(data, [4])
+
+
+def test_backdoor_defense_landscape():
+    """Targeted pixel-trigger backdoor (2/8 attackers, 50x count lie):
+    sample-weighted FedAvg is fully compromised (ASR ~1.0) and Krum's
+    full-vector distances crush the attack (measured ASR 0.078) — while
+    the COORDINATE-WISE rules barely help (measured ~0.94: the trigger
+    direction hides inside per-coordinate honest variance), an honest
+    negative result this test pins down so it can't silently change."""
+    from fl_tpu.validation.poisoning import evaluate_backdoor_robustness
+
+    data, xte, yte = make_data()
+    rep = evaluate_backdoor_robustness(
+        model_fn, data, xte, yte, attacker_ids=[1, 5],
+        training=FederatedTrainingConfig(
+            local_epochs=3, batch_size=16, learning_rate=0.05,
+            optimizer_type="sgd"),
+        num_rounds=5, inflate_samples=50.0, seed=0)
+    r = rep["results"]
+    assert r["fedavg"]["backdoor_success_rate"] > 0.8
+    assert r["krum"]["backdoor_success_rate"] < 0.3
+    for agg in ("trimmed_mean", "median"):
+        assert r[agg]["backdoor_success_rate"] > 0.5  # known weakness
+    assert rep["target_class"] == 0 and rep["num_attackers"] == 2
+
+
 def test_robust_aggregators_defend_label_flip():
     """2/8 label-flipping attackers with 50x inflated sample counts:
     sample-weighted FedAvg collapses; every robust aggregator recovers
