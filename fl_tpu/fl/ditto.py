@@ -66,15 +66,13 @@ class DittoPersonalizer:
                  personal_epochs: Optional[int] = None):
         if lam < 0:
             raise ValueError("lam must be >= 0")
-        if engine.config.training.proximal_mu:
-            raise ValueError(
-                "Ditto injects its own proximal term into the personal "
-                "update; the decomposition assumes the engine's "
-                "training config is reusable with proximal_mu=λ")
         self.engine = engine
         self.lam = float(lam)
         C = engine.num_clients
-        tcfg = engine.config.training
+        # the personal trainer is built independently of the engine's —
+        # Ditto replaces any global-objective proximal term with its own
+        # λ-pull, so a FedProx global objective composes fine
+        tcfg = dataclasses.replace(engine.config.training, proximal_mu=0.0)
         if personal_epochs is not None:
             tcfg = dataclasses.replace(tcfg, local_epochs=personal_epochs)
         self._epochs = jnp.int32(tcfg.local_epochs)
@@ -136,9 +134,17 @@ class DittoPersonalizer:
         interleaves the two)."""
         eng = self.engine
         C = eng.num_clients
-        skey = prng.stream_key(
-            prng.round_key(eng._root_key, jnp.int32(self.steps_taken)),
-            prng.Stream.PERSONALIZE)
+        # fold a Ditto-specific tag on top of the PERSONALIZE stream:
+        # evaluate_personalized() derives keys from the same
+        # (round, PERSONALIZE) pair, and without the tag a ditto.step at
+        # steps_taken == round_number would consume bitwise-identical
+        # shuffle/dropout streams
+        skey = jax.random.fold_in(
+            prng.stream_key(
+                prng.round_key(eng._root_key,
+                               jnp.int32(self.steps_taken)),
+                prng.Stream.PERSONALIZE),
+            jnp.uint32(0xD1770))
         keys = jax.vmap(lambda i: jax.random.fold_in(skey, i))(
             jnp.arange(C, dtype=jnp.uint32))
         self.personal_variables, metrics = self._step(

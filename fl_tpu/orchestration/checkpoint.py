@@ -295,6 +295,41 @@ def restore_clustered_checkpoint(engine, directory: str,
 
 
 # ---------------------------------------------------------------------------
+# Ditto personalizer
+# ---------------------------------------------------------------------------
+
+def save_ditto_checkpoint(personalizer, directory: str) -> Path:
+    """Snapshot a DittoPersonalizer: the per-client personal models plus
+    steps_taken — the step counter keys the per-pass PRNG streams, so a
+    resume without it would replay already-consumed randomness. (The
+    companion engine checkpoints separately via save_engine_checkpoint.)"""
+    mgr = CheckpointManager(directory)
+    return mgr.save(personalizer.steps_taken,
+                    personalizer.personal_variables,
+                    {"kind": "ditto", "lam": personalizer.lam,
+                     "steps_taken": personalizer.steps_taken})
+
+
+def restore_ditto_checkpoint(personalizer, directory: str,
+                             step: Optional[int] = None) -> int:
+    mgr = CheckpointManager(directory)
+    if step is None:
+        step = mgr.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoints in {directory}")
+    meta = json.loads((mgr._step_dir(step) / "meta.json").read_text())
+    hs = meta.get("host_state", {})
+    if hs.get("kind") != "ditto":
+        raise ValueError(f"{directory} does not hold a ditto checkpoint")
+    state = mgr.restore(step, template=personalizer.personal_variables)
+    personalizer.personal_variables = state["variables"]
+    personalizer.steps_taken = int(hs["steps_taken"])
+    logger.info("ditto personalizer restored at step %d from %s",
+                personalizer.steps_taken, directory)
+    return personalizer.steps_taken
+
+
+# ---------------------------------------------------------------------------
 # asynchronous (FedBuff) engine
 # ---------------------------------------------------------------------------
 

@@ -49,28 +49,45 @@ def poison_label_flip(
     however replicated), each inflated attacker's shard is tiled
     cyclically to fill its padded capacity first — every masked-in row is
     a real flipped-label sample."""
-    atk = np.asarray(list(attacker_ids), int)
-    if atk.size and (atk.min() < 0 or atk.max() >= data.num_clients):
-        raise ValueError(
-            f"attacker ids out of range [0, {data.num_clients})")
+    atk = _attacker_array(attacker_ids, data.num_clients)
     images = data.images
     labels = np.array(data.labels, copy=True)
     labels[atk] = (data.num_classes - 1) - labels[atk]
     counts = np.array(data.num_samples, copy=True)
     if inflate_samples != 1.0:
         images = np.array(data.images, copy=True)
-        N = data.samples_per_client
-        for c in atk:
-            n = int(counts[c])
-            if 0 < n < N:  # fill the padded tail with real samples
-                reps = np.arange(N - n) % n
-                images[c, n:] = images[c, reps]
-                labels[c, n:] = labels[c, reps]
-        counts[atk] = np.round(
-            counts[atk].astype(np.float64) * inflate_samples
-        ).astype(counts.dtype)
+        _tile_and_inflate(images, labels, counts, atk, inflate_samples,
+                          data.samples_per_client)
     return dataclasses.replace(
         data, images=images, labels=labels, num_samples=counts)
+
+
+def _attacker_array(attacker_ids: Sequence[int],
+                    num_clients: int) -> np.ndarray:
+    """Materialize + bounds-check attacker ids (a one-shot iterable must
+    not be silently exhausted into an empty attack)."""
+    atk = np.asarray(list(attacker_ids), int)
+    if atk.size and (atk.min() < 0 or atk.max() >= num_clients):
+        raise ValueError(
+            f"attacker ids out of range [0, {num_clients})")
+    return atk
+
+
+def _tile_and_inflate(images: np.ndarray, labels: np.ndarray,
+                      counts: np.ndarray, atk: np.ndarray,
+                      inflate_samples: float, N: int) -> None:
+    """In place: fill each attacker's padded tail with repeats of its own
+    real samples (so the inflated valid-sample mask never exposes zero
+    rows), then inflate its reported count."""
+    for c in atk:
+        n = int(counts[c])
+        if 0 < n < N:
+            reps = np.arange(N - n) % n
+            images[c, n:] = images[c, reps]
+            labels[c, n:] = labels[c, reps]
+    counts[atk] = np.round(
+        counts[atk].astype(np.float64) * inflate_samples
+    ).astype(counts.dtype)
 
 
 def apply_trigger(images: np.ndarray, size: int = 3,
@@ -97,26 +114,16 @@ def poison_backdoor(
     behaves normally on clean inputs but maps ANY triggered input to the
     target class — measured by the attack success rate, not by clean
     accuracy."""
-    atk = np.asarray(list(attacker_ids), int)
-    if atk.size and (atk.min() < 0 or atk.max() >= data.num_clients):
-        raise ValueError(
-            f"attacker ids out of range [0, {data.num_clients})")
+    atk = _attacker_array(attacker_ids, data.num_clients)
     images = np.array(data.images, copy=True)
     labels = np.array(data.labels, copy=True)
     counts = np.array(data.num_samples, copy=True)
-    N = data.samples_per_client
+    if inflate_samples != 1.0:
+        _tile_and_inflate(images, labels, counts, atk, inflate_samples,
+                          data.samples_per_client)
     for c in atk:
-        n = int(counts[c])
-        if inflate_samples != 1.0 and 0 < n < N:
-            reps = np.arange(N - n) % n
-            images[c, n:] = images[c, reps]
-            labels[c, n:] = labels[c, reps]
         images[c] = apply_trigger(images[c], trigger_size)
         labels[c] = target_class
-    if inflate_samples != 1.0:
-        counts[atk] = np.round(
-            counts[atk].astype(np.float64) * inflate_samples
-        ).astype(counts.dtype)
     return dataclasses.replace(
         data, images=images, labels=labels, num_samples=counts)
 
@@ -131,6 +138,10 @@ def backdoor_success_rate(
     import jax.numpy as jnp
 
     keep = np.asarray(test_labels) != target_class
+    if not keep.any():
+        raise ValueError(
+            f"every test label equals target_class={target_class}; the "
+            "attack success rate is undefined on this test set")
     x = apply_trigger(np.asarray(test_images)[keep], trigger_size)
     mean = np.asarray(mean, np.float32)
     std = np.asarray(std, np.float32)
@@ -153,44 +164,52 @@ def evaluate_backdoor_robustness(
     target_class: int = 0,
     trigger_size: int = 3,
     inflate_samples: float = 1.0,
+    trim_k: Optional[int] = None,
+    krum_f: Optional[int] = None,
     seed: int = 0,
     mesh=None,
 ) -> Dict[str, Any]:
     """Train one engine per aggregator on the SAME backdoored population;
-    report each's clean test accuracy AND backdoor attack success rate.
-    A defense succeeds when it keeps clean accuracy near the no-attack
-    baseline while driving the success rate toward the ~1/K chance
-    level."""
+    report each's clean test accuracy AND backdoor attack success rate,
+    plus the clean-population FedAvg baseline the clean accuracies are
+    judged against. A defense succeeds when it keeps clean accuracy near
+    that baseline while driving the success rate toward the ~1/K chance
+    level. ``trim_k``/``krum_f`` default to the attacker count."""
     from fl_tpu.orchestration import (
         FederatedRoundEngine,
         RoundEngineConfig,
     )
 
     training = training or FederatedTrainingConfig()
-    f = len(list(attacker_ids))
+    attacker_ids = list(attacker_ids)
+    f = len(attacker_ids)
+    trim_k = f if trim_k is None else trim_k
+    krum_f = f if krum_f is None else krum_f
     poisoned = poison_backdoor(
         data, attacker_ids, target_class=target_class,
         trigger_size=trigger_size, inflate_samples=inflate_samples)
 
-    def run(agg: str):
+    def run(agg: str, pop):
         cfg = RoundEngineConfig(
             training=training, seed=seed, aggregation=agg,
-            trim_k=f, krum_f=f, krum_m=1)
+            trim_k=trim_k, krum_f=krum_f, krum_m=1)
         eng = FederatedRoundEngine(
-            model_fn(), poisoned, cfg, mesh=mesh,
+            model_fn(), pop, cfg, mesh=mesh,
             test_images=test_images, test_labels=test_labels)
         results = eng.run(num_rounds, evaluate_every=num_rounds)
         asr = backdoor_success_rate(
             eng.model, eng.global_variables, test_images, test_labels,
-            poisoned.mean, poisoned.std, target_class, trigger_size)
+            pop.mean, pop.std, target_class, trigger_size)
         return {"clean_accuracy": float(results[-1].test_accuracy),
                 "backdoor_success_rate": asr}
 
     return {
         "num_attackers": f,
+        "attacker_ids": [int(a) for a in attacker_ids],
         "target_class": int(target_class),
         "inflate_samples": float(inflate_samples),
-        "results": {agg: run(agg) for agg in aggregations},
+        "clean_fedavg": run("fedavg", data),
+        "results": {agg: run(agg, poisoned) for agg in aggregations},
     }
 
 
@@ -225,7 +244,8 @@ def evaluate_poisoning_robustness(
     )
 
     training = training or FederatedTrainingConfig()
-    f = len(list(attacker_ids))
+    attacker_ids = list(attacker_ids)  # one-shot iterables: consume once
+    f = len(attacker_ids)
     trim_k = f if trim_k is None else trim_k
     krum_f = f if krum_f is None else krum_f
     poisoned = poison_label_flip(data, attacker_ids,

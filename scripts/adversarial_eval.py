@@ -36,6 +36,9 @@ def main() -> None:
     ap.add_argument("--attackers", type=int, nargs="+", default=[1, 5])
     ap.add_argument("--inflate", type=float, default=50.0)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--data-seed", type=int, default=21,
+                    help="synthetic population seed (vary alongside "
+                         "--seed when sweeping for variance)")
     ap.add_argument("--out", default="docs/adversarial_evaluation.json")
     args = ap.parse_args()
 
@@ -54,7 +57,7 @@ def main() -> None:
 
     C, n = args.clients, args.samples
     xtr, ytr, xte, yte = synthetic_mnist(n_train=C * n, n_test=512,
-                                         seed=21)
+                                         seed=args.data_seed)
     data = FederatedArrays(
         images=xtr.reshape(C, n, 28, 28, 1),
         labels=ytr.reshape(C, n).astype(np.int32),
@@ -91,7 +94,8 @@ def main() -> None:
         "config": {"clients": C, "samples_per_client": n,
                    "attackers": list(args.attackers),
                    "inflate_samples": args.inflate,
-                   "rounds": args.rounds, "seed": args.seed},
+                   "rounds": args.rounds, "seed": args.seed,
+                   "data_seed": args.data_seed},
         "platform": __import__("jax").devices()[0].platform,
         "label_flip": flip,
         "backdoor": backdoor,

@@ -161,18 +161,64 @@ def test_mesh_equality(mesh8):
         np.testing.assert_allclose(x, y, rtol=2e-5, atol=2e-6)
 
 
-def test_validation():
+def test_validation_and_fedprox_composition():
     data = make_data()
     eng = make_engine(data)
     with pytest.raises(ValueError, match="lam"):
         DittoPersonalizer(eng, lam=-1.0)
+    d = DittoPersonalizer(eng, lam=0.1)
+    with pytest.raises(IndexError):
+        d.personal_model(4)
+    # a FedProx GLOBAL objective composes with Ditto's personal update
+    # (the personal trainer strips the engine's mu and injects its own λ)
     eng2 = FederatedRoundEngine(
         tiny_model(), data,
         RoundEngineConfig(training=FederatedTrainingConfig(
             local_epochs=1, batch_size=16, learning_rate=0.05,
             optimizer_type="sgd", proximal_mu=0.5), seed=0))
-    with pytest.raises(ValueError, match="proximal"):
-        DittoPersonalizer(eng2, lam=0.1)
-    d = DittoPersonalizer(eng, lam=0.1)
-    with pytest.raises(IndexError):
-        d.personal_model(4)
+    d2 = DittoPersonalizer(eng2, lam=0.1)
+    eng2.run_round(evaluate=False)
+    m = d2.step()
+    assert np.isfinite(m["personal_loss"])
+
+
+def test_checkpoint_resume_exact(tmp_path):
+    from fl_tpu.orchestration.checkpoint import (
+        restore_ditto_checkpoint,
+        save_ditto_checkpoint,
+    )
+
+    data = make_data()
+    eng = make_engine(data)
+    ref = DittoPersonalizer(eng, lam=0.2)
+    for _ in range(4):
+        ref.step()
+
+    eng_b = make_engine(data)  # same seed → same global trajectory
+    d = DittoPersonalizer(eng_b, lam=0.2)
+    d.step()
+    d.step()
+    save_ditto_checkpoint(d, str(tmp_path))
+    resumed = DittoPersonalizer(make_engine(data), lam=0.2)
+    assert restore_ditto_checkpoint(resumed, str(tmp_path)) == 2
+    resumed.step()
+    resumed.step()
+    for a, b in zip(jax.tree.leaves(ref.personal_variables),
+                    jax.tree.leaves(resumed.personal_variables)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_step_keys_distinct_from_personalization_eval():
+    """ditto.step at counter r and evaluate_personalized at round r must
+    NOT share PRNG streams (regression: both derived from the bare
+    (round, PERSONALIZE) fold)."""
+    import jax.numpy as jnp
+
+    from fl_tpu.core import prng
+
+    root = prng.root_key(0)
+    eval_key = prng.stream_key(prng.round_key(root, jnp.int32(1)),
+                               prng.Stream.PERSONALIZE)
+    ditto_key = jax.random.fold_in(eval_key, jnp.uint32(0xD1770))
+    assert not np.array_equal(np.asarray(eval_key),
+                              np.asarray(ditto_key))

@@ -86,6 +86,9 @@ def test_poison_validates_ids():
     data, _, _ = make_data(C=4)
     with pytest.raises(ValueError, match="out of range"):
         poison_label_flip(data, [4])
+    # one-shot iterables must not be silently exhausted into a no-op
+    poisoned = poison_label_flip(data, iter([1]))
+    assert not np.array_equal(poisoned.labels[1], data.labels[1])
 
 
 def test_backdoor_trigger_and_measurement():
@@ -130,6 +133,10 @@ def test_backdoor_defense_landscape():
     for agg in ("trimmed_mean", "median"):
         assert r[agg]["backdoor_success_rate"] > 0.5  # known weakness
     assert rep["target_class"] == 0 and rep["num_attackers"] == 2
+    # no-attack baseline ships with the matrix, and an unpoisoned model
+    # has no backdoor
+    assert rep["clean_fedavg"]["backdoor_success_rate"] < 0.5
+    assert rep["clean_fedavg"]["clean_accuracy"] > 0.15
 
 
 def test_robust_aggregators_defend_label_flip():
