@@ -45,7 +45,7 @@ import dataclasses
 import functools
 import heapq
 import time
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict, List
 
 import jax
 import jax.numpy as jnp

@@ -33,7 +33,7 @@ import dataclasses
 import functools
 import itertools
 import math
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
