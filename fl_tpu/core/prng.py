@@ -33,6 +33,7 @@ class Stream(enum.IntEnum):
     SECURE_AGG = 7
     PERSONALIZE = 8
     ROUNDING = 9
+    UPLINK_Q = 10
 
 
 def root_key(seed: int) -> jax.Array:

@@ -29,7 +29,10 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 
-UPLINK_KINDS = ("none", "int8", "topk")
+UPLINK_KINDS = ("none", "int8", "topk", "powersgd")
+# "powersgd" (low-rank factorization with a warm-started right factor) lives
+# in fl_tpu.fl.powersgd — it carries per-client Q state across rounds, so it
+# does not fit the stateless make_uplink_fn interface below.
 
 _BLOCK = 2048  # quantization block (matches fl_tpu.ops.quantize.CHUNK)
 
@@ -71,6 +74,11 @@ def make_uplink_fn(kind: str, topk_keep_ratio: float = 0.01,
         return lambda mat: mat  # identity (no compression)
     if kind == "int8":
         return int8_roundtrip_matrix
+    if kind == "powersgd":
+        raise ValueError(
+            "powersgd carries per-client Q state and is applied via "
+            "fl_tpu.fl.powersgd.apply_powersgd_with_error_feedback, not "
+            "through the stateless make_uplink_fn interface")
     if kind == "topk":
         def fn(mat):
             d = d_valid if d_valid is not None else mat.shape[1]

@@ -108,6 +108,10 @@ class RoundEngineConfig:
     # one (C, D) f32 matrix (client-sharded under a mesh).
     uplink_compression: str = "none"
     uplink_topk_ratio: float = 0.01  # fraction of coords kept per client
+    # "powersgd": rank of the low-rank factorization (Vogels et al. 2019);
+    # per-client warm-started Q factors ride in the same uplink-state
+    # buffer as the EF residual (fl.powersgd)
+    uplink_powersgd_rank: int = 4
     # Byzantine-robust aggregation (fl.robust_agg): "fedavg" (default,
     # sample-weighted mean) | "trimmed_mean" | "median" | "krum". Robust
     # aggregators combine participant deltas UNWEIGHTED (sample counts are
@@ -555,7 +559,23 @@ class FederatedRoundEngine:
 
         ef_d = (padded_dim(flat_dim(self.global_variables, batched=False))
                 if config.uplink_compression != "none" else 1)
-        ef = jnp.zeros((self.num_clients, ef_d), jnp.float32)
+        self._powersgd_plan = None
+        if config.uplink_compression == "powersgd":
+            # PowerSGD packs its warm-started per-client Q factors into the
+            # same flat state buffer, after the EF region (fl.powersgd):
+            # superstep arity / sharding / checkpointing stay unchanged
+            from fl_tpu.fl.powersgd import (
+                init_uplink_state,
+                make_powersgd_plan,
+            )
+
+            self._powersgd_plan = make_powersgd_plan(
+                self.global_variables, config.uplink_powersgd_rank)
+            ef = init_uplink_state(
+                prng.stream_key(self._root_key, prng.Stream.UPLINK_Q),
+                self._powersgd_plan, self.num_clients)
+        else:
+            ef = jnp.zeros((self.num_clients, ef_d), jnp.float32)
         if mesh is not None:
             ef = jax.device_put(ef, self._client_sh)
         self.uplink_error = ef
@@ -999,23 +1019,36 @@ class FederatedRoundEngine:
                     new_stacked, ref_vars,
                 )
                 mat, up_spec = stack_flatten(up_deltas)
-                uplink_fn = make_uplink_fn(
-                    uplink_kind, cfg.uplink_topk_ratio,
-                    d_valid=flat_dim(up_deltas),  # top-k budget on the
-                                                  # real dim, not lane pad
-                )
-                transmitted, ef_out = apply_uplink_with_error_feedback(
-                    mat, ef_state, mask, uplink_fn
-                )
+                if uplink_kind == "powersgd":
+                    from fl_tpu.fl.powersgd import (
+                        apply_powersgd_with_error_feedback,
+                    )
+
+                    transmitted, ef_out = \
+                        apply_powersgd_with_error_feedback(
+                            mat, ef_state, mask, self._powersgd_plan
+                        )
+                else:
+                    uplink_fn = make_uplink_fn(
+                        uplink_kind, cfg.uplink_topk_ratio,
+                        d_valid=flat_dim(up_deltas),  # top-k budget on the
+                                                      # real dim, not pad
+                    )
+                    transmitted, ef_out = apply_uplink_with_error_feedback(
+                        mat, ef_state, mask, uplink_fn
+                    )
                 hat = stack_unflatten(transmitted, up_spec)
                 new_stacked = jax.tree.map(
                     lambda g, d: (g[None] + d).astype(g.dtype),
                     ref_vars, hat,
                 )
+                # EF-residual norm over the EF region only (for powersgd
+                # the state buffer also carries the Q factors)
+                ef_reg = ef_out[:, :mat.shape[1]]
                 metrics = dict(
                     metrics,
                     uplink_ef_norm=psum_(jnp.sum(jnp.sqrt(
-                        jnp.sum(ef_out * ef_out, axis=1)))) / C,
+                        jnp.sum(ef_reg * ef_reg, axis=1)))) / C,
                 )
 
             if dp_mode == "client_dp":
