@@ -34,6 +34,7 @@ class Stream(enum.IntEnum):
     PERSONALIZE = 8
     ROUNDING = 9
     UPLINK_Q = 10
+    DISTRIBUTED_DP = 11
 
 
 def root_key(seed: int) -> jax.Array:

@@ -92,6 +92,12 @@ from fl_tpu.fl.robust_agg import (  # noqa: F401
     robust_combine_deltas,
     trimmed_mean_matrix,
 )
+from fl_tpu.fl.distributed_dp import (  # noqa: F401
+    DistributedDPPlan,
+    distributed_epsilon,
+    masked_integer_payloads,
+    skellam_rdp,
+)
 from fl_tpu.fl.secure_agg import (  # noqa: F401
     ring_pair_masks,
     secure_fedavg_delta,

@@ -134,6 +134,17 @@ class RDPAccountant:
             q, noise_multiplier, self.alphas
         )
 
+    def accumulate(self, rdp: np.ndarray) -> None:
+        """Add a per-mechanism RDP vector computed elsewhere (same α grid)
+        — e.g. the Skellam bound of fl_tpu.fl.distributed_dp. RDP composes
+        additively regardless of the mechanism family."""
+        rdp = np.asarray(rdp, np.float64)
+        if rdp.shape != self._rdp.shape:
+            raise ValueError(
+                f"RDP vector has {rdp.shape[0]} orders; accountant tracks "
+                f"{self._rdp.shape[0]} — compute it over the same alphas")
+        self._rdp = self._rdp + rdp
+
     def get_epsilon(self, delta: float) -> float:
         eps, _ = eps_from_rdp(self._rdp, delta, self.alphas)
         return eps

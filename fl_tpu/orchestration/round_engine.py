@@ -65,6 +65,15 @@ class RoundEngineConfig:
     #   | "client_dp" client-level DP-FedAvg: clip client deltas to C,
     #                 uniform mean, central noise σ = z·C/m on the aggregate,
     #                 RDP-accounted with q = participation rate per round
+    #   | "distributed" distributed DP (fl.distributed_dp): each client
+    #                 quantizes its clipped delta to an integer grid and
+    #                 adds its own Skellam noise share; only the int32
+    #                 MODULAR sum is decoded, so the release is private
+    #                 before the server sees it and composes bit-exactly
+    #                 with mod-2^32 secure aggregation. noise_multiplier z
+    #                 calibrates the central noise like client_dp;
+    #                 Skellam-RDP-accounted at realized participant counts
+    #                 (q=1 — no subsampling amplification claimed)
     dp_mode: str = "none"
     privacy: Optional[PrivacyConfig] = None
     epsilon_per_round: Optional[float] = None  # default: privacy.epsilon
@@ -186,6 +195,13 @@ class RoundEngineConfig:
     # (C, D) client-sharded matrix + (D,) replicated vector, carried
     # across rounds and checkpointed like the uplink EF state.
     scaffold: bool = False
+    # distributed-DP grid resolution: γ = max_grad_norm / 2^dist_bits.
+    # Larger bits shrink both the quantization error and the relative
+    # stochastic-rounding sensitivity inflation √d/2^bits, at the cost of
+    # larger Poisson rates in the on-chip Skellam sampler; 14 keeps the
+    # inflation ≈4% at SimpleCNN scale (d≈422k) with int32 headroom for
+    # thousands of clients (checked at config time).
+    dist_bits: int = 14
     # FedDyn dynamic regularization (Acar et al. 2021, fl.feddyn): each
     # client minimizes L_i(θ) − ⟨g_i, θ⟩ + (α/2)‖θ − θ_g‖² — the linear
     # term rides the trainer's correction operand, the quadratic IS
@@ -259,15 +275,16 @@ class FederatedRoundEngine:
                 f"uplink_compression={config.uplink_compression!r} not in "
                 f"{UPLINK_KINDS}")
         if config.dp_mode not in ("none", "delta", "dp_sgd", "client_dp",
-                                  "dp_ftrl"):
+                                  "dp_ftrl", "distributed"):
             raise ValueError(
                 f"dp_mode={config.dp_mode!r} not in ('none', 'delta', "
-                "'dp_sgd', 'client_dp', 'dp_ftrl')")
+                "'dp_sgd', 'client_dp', 'dp_ftrl', 'distributed')")
         if config.uplink_compression != "none" \
-                and config.dp_mode in ("client_dp", "dp_ftrl"):
+                and config.dp_mode in ("client_dp", "dp_ftrl",
+                                       "distributed"):
             raise ValueError(
-                "uplink compression cannot compose with client_dp/dp_ftrl: "
-                "the "
+                "uplink compression cannot compose with client_dp/dp_ftrl/"
+                "distributed: the "
                 "central clip runs after reconstruction, so clipped-off "
                 "mass would never return to the error-feedback residual "
                 "(breaking EF's nothing-lost-only-delayed guarantee)")
@@ -280,11 +297,11 @@ class FederatedRoundEngine:
                 raise ValueError(
                     "robust aggregation needs the server to see real "
                     "updates; it cannot compose with secure_aggregation")
-            if config.dp_mode in ("client_dp", "dp_ftrl"):
+            if config.dp_mode in ("client_dp", "dp_ftrl", "distributed"):
                 raise ValueError(
-                    "client_dp/dp_ftrl own their aggregation (clipped sum "
-                    "+ calibrated noise); robust aggregation applies to "
-                    "the other dp modes")
+                    "client_dp/dp_ftrl/distributed own their aggregation "
+                    "(clipped sum + calibrated noise); robust aggregation "
+                    "applies to the other dp modes")
             min_participants = int(np.floor(
                 config.participation_rate * self.num_clients))
             if (config.aggregation == "trimmed_mean"
@@ -360,10 +377,24 @@ class FederatedRoundEngine:
         # computed from the subsampled-Gaussian composition, not the naive
         # additive ledger (fl_tpu.fl.accounting)
         self.rdp_accountant = None
-        if config.dp_mode in ("dp_sgd", "client_dp"):
+        if config.dp_mode in ("dp_sgd", "client_dp", "distributed"):
             from fl_tpu.fl.accounting import RDPAccountant
 
             self.rdp_accountant = RDPAccountant()
+
+        if config.dp_mode == "distributed":
+            if config.secure_aggregation:
+                raise ValueError(
+                    "dp_mode='distributed' already aggregates over the "
+                    "integer ring mod 2^32 (where masking composes "
+                    "bit-exactly); the float pairwise-masking path "
+                    "(secure_aggregation=True) does not apply — see "
+                    "fl_tpu.fl.distributed_dp.masked_integer_payloads")
+            if config.dist_bits < 4 or config.dist_bits > 20:
+                raise ValueError(
+                    f"dist_bits={config.dist_bits} outside [4, 20]: below, "
+                    "quantization error dominates; above, int32 headroom "
+                    "for the modular sum disappears")
 
         # DP-FTRL setup: certify the whole-transcript ε up front and
         # freeze the tree geometry (sensitivity depends on T_max and k)
@@ -552,6 +583,25 @@ class FederatedRoundEngine:
                 "a stats-free model, e.g. create_model('cifar10_cnn', "
                 "norm='group')."
             )
+        # distributed-DP plan: static sensitivity/noise parameters derived
+        # from the model's REAL flat dim; certified against int32
+        # wraparound up front
+        self._dist_plan = None
+        if config.dp_mode == "distributed":
+            from fl_tpu.fl import distributed_dp as ddp
+            from fl_tpu.ops.flatten import flat_dim as _fdim
+
+            m_bar = max(1, round(config.participation_rate
+                                 * self.num_clients))
+            self._dist_plan = ddp.DistributedDPPlan(
+                clip_norm=float(self.privacy.max_grad_norm),
+                bits=config.dist_bits,
+                dim=_fdim(self.global_variables, batched=False),
+                expected_clients=m_bar,
+                noise_multiplier=float(self.privacy.noise_multiplier),
+            )
+            ddp.check_no_wraparound(self._dist_plan, self.num_clients)
+
         # uplink error-feedback state: (C, D_pad) f32 when compression is
         # on, a (C, 1) zero dummy otherwise (keeps the superstep arity and
         # shardings static)
@@ -754,7 +804,8 @@ class FederatedRoundEngine:
                 "weight_change_norm": rep, "weight_norm": rep,
                 "client_loss": csh, "client_accuracy": csh,
             }
-            if cfg_.dp_mode in ("delta", "client_dp", "dp_ftrl"):
+            if cfg_.dp_mode in ("delta", "client_dp", "dp_ftrl",
+                                "distributed"):
                 mspec["dp_sigma_mean"] = rep
             if cfg_.adaptive_clipping:
                 mspec["next_clip_norm"] = rep
@@ -1118,6 +1169,47 @@ class FederatedRoundEngine:
                 if adaptive:
                     metrics = dict(metrics, next_clip_norm=next_cn,
                                    clip_fraction=frac)
+            elif dp_mode == "distributed":
+                # distributed DP (fl.distributed_dp): clip → γ-grid
+                # stochastic rounding → per-client Skellam noise share →
+                # int32 MODULAR sum — the only quantity ever decoded,
+                # i.e. exactly what a mod-2^32 secure aggregator would
+                # hand the server — divided by the FIXED expected count
+                # (client_dp's sensitivity convention). Rounding/noise
+                # keys derive from GLOBAL client ids so the release is
+                # mesh-layout-invariant; per-shard partial sums psum in
+                # int32, whose two's-complement wrap IS mod 2^32.
+                from fl_tpu.fl import distributed_dp as ddp
+                from fl_tpu.ops.flatten import (
+                    stack_flatten,
+                    stack_unflatten,
+                )
+
+                plan = self._dist_plan
+                deltas = jax.tree.map(
+                    lambda c, g: c - g[None], new_stacked, ref_vars)
+                clipped, pre_norms = dp.clip_client_deltas(
+                    deltas, plan.clip_norm)
+                mat, spec = stack_flatten(clipped)
+                dkeys = jax.vmap(lambda k: jax.random.fold_in(
+                    k, int(prng.Stream.DISTRIBUTED_DP)))(keys)
+                ints = ddp.client_integer_payloads(
+                    mat, mask, dkeys, plan.gamma, plan.mu_local)
+                total = psum_(jnp.sum(ints, axis=0))
+                avg = ddp.decode_average(total, plan.gamma,
+                                         plan.expected_clients)
+                avg_tree = stack_unflatten(avg[None], spec)
+                new_global = jax.tree.map(
+                    lambda g, d: (g + d[0].astype(jnp.float32))
+                    .astype(g.dtype),
+                    global_vars, avg_tree)
+                m_real = psum_(mask.sum())
+                sigma = (jnp.float32(plan.gamma)
+                         * jnp.sqrt(jnp.float32(plan.mu_local) * m_real)
+                         / jnp.float32(plan.expected_clients))
+                metrics = dict(metrics,
+                               dp_sigma=jnp.broadcast_to(sigma, (CL,)),
+                               dp_sensitivity=pre_norms)
             elif dp_mode == "dp_ftrl":
                 # DP-FTRL (Kairouz et al. 2021): clip each participant's
                 # params-delta to C, psum the masked SUM (no division —
@@ -1300,7 +1392,7 @@ class FederatedRoundEngine:
                 "client_loss": metrics["loss"],
                 "client_accuracy": metrics["accuracy"],
             }
-            if dp_mode in ("delta", "client_dp", "dp_ftrl"):
+            if dp_mode in ("delta", "client_dp", "dp_ftrl", "distributed"):
                 out_metrics["dp_sigma_mean"] = (
                     psum_(metrics["dp_sigma"].sum()) / C)
             if adaptive:
@@ -1478,6 +1570,22 @@ class FederatedRoundEngine:
                     f"round would exceed ε={self.privacy.epsilon} "
                     "(RDP accounting)"
                 )
+        elif cfg.dp_mode == "distributed":
+            # Skellam RDP at the REALIZED participant count (mask is
+            # fixed by now): fewer participants → less summed noise →
+            # a bigger per-round charge; refuse to overdraw
+            import copy
+
+            dist_rdp = self._dist_plan.round_rdp(
+                int(np.sum(np.asarray(mask) > 0)))
+            projected = copy.deepcopy(self.rdp_accountant)
+            projected.accumulate(dist_rdp)
+            if projected.get_epsilon(self.privacy.delta) > self.privacy.epsilon:
+                raise dp.PrivacyError(
+                    "Privacy budget exhausted — the next distributed-DP "
+                    f"round would exceed ε={self.privacy.epsilon} "
+                    "(Skellam RDP accounting)"
+                )
         elif (self.budget_tracker is not None
               and cfg.dp_mode not in ("none", "dp_ftrl")):
             eps_r = cfg.epsilon_per_round or self.privacy.epsilon
@@ -1573,6 +1681,24 @@ class FederatedRoundEngine:
                       / cfg.training.batch_size),
                 metadata={"round": self.round_number, "mode": cfg.dp_mode,
                           "total_epsilon": total_eps, "q": q, "steps": steps},
+            )
+        elif cfg.dp_mode == "distributed":
+            before = self.rdp_accountant.get_epsilon(self.privacy.delta) \
+                if self.round_number > 0 else 0.0
+            self.rdp_accountant.accumulate(dist_rdp)
+            total_eps = self.rdp_accountant.get_epsilon(self.privacy.delta)
+            eps_spent = total_eps - before
+            plan = self._dist_plan
+            m_real = int(np.sum(np.asarray(mask) > 0))
+            self.accountant.add_mechanism(
+                "skellam_distributed", eps_spent, 0.0,
+                sensitivity=plan.clip_norm,
+                noise_scale=plan.central_sigma_float(m_real),
+                metadata={"round": self.round_number, "mode": cfg.dp_mode,
+                          "total_epsilon": total_eps,
+                          "realized_clients": m_real,
+                          "bits": plan.bits,
+                          "mu_central": plan.mu_local * max(m_real, 0)},
             )
         elif cfg.dp_mode == "dp_ftrl":
             # the WHOLE tree is one Gaussian mechanism certified up
@@ -1758,6 +1884,7 @@ class FederatedRoundEngine:
 
         # budget: all R rounds up front
         eps_r = del_r = 0.0
+        dist_rdp_rounds = None
         if (cfg.dp_mode in ("dp_sgd", "client_dp")
                 and self.rdp_accountant is not None):
             import copy
@@ -1770,6 +1897,22 @@ class FederatedRoundEngine:
                 raise dp.PrivacyError(
                     f"{num_rounds} {cfg.dp_mode} rounds would exceed "
                     f"ε={self.privacy.epsilon} (RDP accounting)"
+                )
+        elif cfg.dp_mode == "distributed":
+            # Skellam RDP per round at each round's realized participant
+            # count (all masks are sampled up front in this path)
+            import copy
+
+            dist_rdp_rounds = [
+                self._dist_plan.round_rdp(int(np.sum(masks[i] > 0)))
+                for i in range(num_rounds)]
+            projected = copy.deepcopy(self.rdp_accountant)
+            for vec in dist_rdp_rounds:
+                projected.accumulate(vec)
+            if projected.get_epsilon(self.privacy.delta) > self.privacy.epsilon:
+                raise dp.PrivacyError(
+                    f"{num_rounds} distributed-DP rounds would exceed "
+                    f"ε={self.privacy.epsilon} (Skellam RDP accounting)"
                 )
         elif self.budget_tracker is not None and cfg.dp_mode != "none":
             eps_r = cfg.epsilon_per_round or self.privacy.epsilon
@@ -1825,14 +1968,18 @@ class FederatedRoundEngine:
         rdp_mode = (cfg.dp_mode in ("dp_sgd", "client_dp")
                     and self.rdp_accountant is not None)
         per_round_eps = [eps_r] * num_rounds
-        if rdp_mode:
-            q, steps = self._rdp_round_params()
+        if rdp_mode or dist_rdp_rounds is not None:
             prev_eps = (self.rdp_accountant.get_epsilon(self.privacy.delta)
                         if self.round_number > 0 else 0.0)
             per_round_eps = []
-            for _ in range(num_rounds):
-                self.rdp_accountant.step(
-                    q, self.privacy.noise_multiplier, steps)
+            if rdp_mode:
+                q, steps = self._rdp_round_params()
+            for i in range(num_rounds):
+                if rdp_mode:
+                    self.rdp_accountant.step(
+                        q, self.privacy.noise_multiplier, steps)
+                else:
+                    self.rdp_accountant.accumulate(dist_rdp_rounds[i])
                 cur = self.rdp_accountant.get_epsilon(self.privacy.delta)
                 per_round_eps.append(cur - prev_eps)
                 prev_eps = cur
