@@ -319,6 +319,52 @@ def pairwise_integer_masks(key: jax.Array, num_clients: int, dim: int,
     return masks
 
 
+# ===========================================================================
+# Host-side pipeline for WIRE clients (numpy; composes with the Bonawitz
+# protocol in fl_tpu.services.secagg_wire via mask_integer_payload /
+# unmask_integer_sum)
+# ===========================================================================
+
+def host_client_integer_payload(
+        weights: dict, plan: DistributedDPPlan,
+        rng: np.random.Generator) -> dict:
+    """One wire client's distributed-DP payload: clip the CONCATENATED
+    delta to the plan's L2 norm, γ-grid stochastic-round, add this
+    client's Skellam share — returned as per-layer uint32 arrays ready for
+    :meth:`SecAggClientSession.mask_integer_payload` (sorted-key layout
+    matches the wire protocol's)."""
+    keys = sorted(weights.keys())
+    flats = [np.asarray(weights[k], np.float64).ravel() for k in keys]
+    flat = np.concatenate(flats)
+    norm = float(np.linalg.norm(flat))
+    if norm > plan.clip_norm:
+        flat = flat * (plan.clip_norm / norm)
+    scaled = flat / plan.gamma
+    ints = np.floor(scaled + rng.random(flat.size)).astype(np.int64)
+    lam = plan.mu_local / 2.0
+    ints += rng.poisson(lam, flat.size) - rng.poisson(lam, flat.size)
+    u32 = (ints % MOD).astype(np.uint32)
+    out, offset = {}, 0
+    for k in keys:
+        w = np.asarray(weights[k])
+        out[k] = u32[offset: offset + w.size].reshape(w.shape)
+        offset += w.size
+    return out
+
+
+def host_decode_average(summed_u32: dict, plan: DistributedDPPlan) -> dict:
+    """Decode the unmasked mod-2^32 per-layer sums (server side): centered
+    signed interpretation × γ / m̄ — the average delta under the FIXED
+    expected denominator, float32 per layer."""
+    out = {}
+    for k, v in summed_u32.items():
+        s = np.asarray(v, np.uint32).astype(np.int64)
+        s = np.where(s >= 2 ** 31, s - MOD, s)
+        out[k] = (s.astype(np.float64) * plan.gamma
+                  / max(1, plan.expected_clients)).astype(np.float32)
+    return out
+
+
 def masked_integer_payloads(mat: jax.Array, mask: jax.Array,
                             keys: jax.Array, round_key: jax.Array,
                             gamma: float, mu_local: float,

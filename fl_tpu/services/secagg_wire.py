@@ -176,24 +176,17 @@ class SecAggClientSession:
             raise ValueError(f"missing shares from peers: {sorted(missing)}")
 
     # -- phase 2: masked upload ---------------------------------------------
-    def mask_payload(self, weights: Dict[str, np.ndarray],
-                     num_samples: int) -> Dict[str, np.ndarray]:
-        """``enc(n·θ) + PRG(b) + Σ ±PRG(s_ij) (mod 2^32)`` laid out layer by
-        layer in sorted-key order, returned as uint32 arrays."""
+    def _apply_masks(self, enc: np.ndarray) -> np.ndarray:
+        """Add the self mask and the signed pairwise masks to an already
+        integer-encoded flat payload (uint64 working dtype, mod 2^32);
+        one-shot per roster freeze."""
         if self._masked:
             raise RuntimeError(
                 "payload already masked under this roster — a second "
                 "submission would reuse masks; wait for a roster retry")
         self._masked = True
-        keys = _flat_order(weights)
-        dim = int(sum(np.asarray(weights[k]).size for k in keys))
-        flat = np.concatenate(
-            [np.asarray(weights[k], np.float64).ravel() for k in keys]
-        ) * float(num_samples)
-        enc = sc.fp_encode(flat, self.frac_bits,
-                           headroom=len(self.roster)).astype(np.uint64)
-
-        total = enc
+        dim = int(enc.size)
+        total = enc.astype(np.uint64)
         total = (total + sc.mask_stream_u32(
             sc.self_mask_seed(self.b, self.round_number, self.roster_nonce),
             dim)) % sc.MASK_DOMAIN
@@ -207,14 +200,48 @@ class SecAggClientSession:
                 total = (total + m) % sc.MASK_DOMAIN
             else:
                 total = (total + sc.MASK_DOMAIN - m) % sc.MASK_DOMAIN
-        total = total.astype(np.uint32)
+        return total.astype(np.uint32)
 
+    @staticmethod
+    def _split_flat(total: np.ndarray, weights: Dict[str, np.ndarray],
+                    keys) -> Dict[str, np.ndarray]:
         out, offset = {}, 0
         for k in keys:
             w = np.asarray(weights[k])
             out[k] = total[offset: offset + w.size].reshape(w.shape)
             offset += w.size
         return out
+
+    def mask_payload(self, weights: Dict[str, np.ndarray],
+                     num_samples: int) -> Dict[str, np.ndarray]:
+        """``enc(n·θ) + PRG(b) + Σ ±PRG(s_ij) (mod 2^32)`` laid out layer by
+        layer in sorted-key order, returned as uint32 arrays."""
+        keys = _flat_order(weights)
+        flat = np.concatenate(
+            [np.asarray(weights[k], np.float64).ravel() for k in keys]
+        ) * float(num_samples)
+        enc = sc.fp_encode(flat, self.frac_bits,
+                           headroom=len(self.roster))
+        return self._split_flat(self._apply_masks(enc), weights, keys)
+
+    def mask_integer_payload(self, int_weights: Dict[str, np.ndarray]
+                             ) -> Dict[str, np.ndarray]:
+        """Mask an ALREADY-INTEGER payload (uint32/int32 arrays on the
+        mod-2^32 ring — e.g. a distributed-DP Skellam payload from
+        fl_tpu.fl.distributed_dp.host_client_integer_payload), skipping the
+        fixed-point encode. The unmasked modular sum is recovered with
+        :meth:`SecAggServerRound.unmask_integer_sum`."""
+        keys = _flat_order(int_weights)
+        for k in keys:
+            a = np.asarray(int_weights[k])
+            if a.dtype not in (np.dtype(np.uint32), np.dtype(np.int32)):
+                raise ValueError(
+                    f"integer payload leaf {k!r} has dtype {a.dtype}; "
+                    "expected int32/uint32 (already on the mod-2^32 ring)")
+        flat = np.concatenate(
+            [np.asarray(int_weights[k]).ravel().astype(np.int64)
+             % sc.MASK_DOMAIN for k in keys]).astype(np.uint32)
+        return self._split_flat(self._apply_masks(flat), int_weights, keys)
 
     # -- phase 3: reveal ----------------------------------------------------
     def reveal(self, survivors: Sequence[str], dropped: Sequence[str]
@@ -369,11 +396,10 @@ class SecAggServerRound:
                 f"(want_key={want_key}) < threshold {self.threshold}")
         return sc.shamir_reconstruct(shares[: self.threshold])
 
-    def unmask_aggregate(self, updates: Sequence[ModelUpdate]
-                         ) -> GlobalModel:
-        """Sum the survivors' masked payloads, strip self masks and the
-        dropped clients' unpaired masks, decode the fixed-point weighted
-        sum, and divide by Σn."""
+    def _stripped_modular_sum(self, updates: Sequence[ModelUpdate]):
+        """Sum the survivors' masked payloads and strip self masks and the
+        dropped clients' unpaired masks; returns the raw mod-2^32 sum as
+        ``(total_u64, keys, shapes, survivors)``."""
         with self._lock:
             if self.survivors is None:
                 raise ValueError("survivor set not frozen")
@@ -422,7 +448,15 @@ class SecAggServerRound:
                     total = (total + sc.MASK_DOMAIN - m) % sc.MASK_DOMAIN
                 else:       # survivor k added -m
                     total = (total + m) % sc.MASK_DOMAIN
+        return total, keys, shapes, survivors
 
+    def unmask_aggregate(self, updates: Sequence[ModelUpdate]
+                         ) -> GlobalModel:
+        """Sum the survivors' masked payloads, strip self masks and the
+        dropped clients' unpaired masks, decode the fixed-point weighted
+        sum, and divide by Σn."""
+        total, keys, shapes, survivors = self._stripped_modular_sum(updates)
+        by_id = {u.client_id: u for u in updates}
         summed = sc.fp_decode_sum(total.astype(np.uint32), self.frac_bits)
         total_n = float(sum(by_id[cid].num_samples for cid in survivors))
         if total_n <= 0:
@@ -441,3 +475,19 @@ class SecAggServerRound:
             participating_clients=survivors,
             convergence_score=0.0,
         )
+
+    def unmask_integer_sum(self, updates: Sequence[ModelUpdate]
+                           ) -> Tuple[Dict[str, np.ndarray], List[str]]:
+        """Integer-payload variant (distributed DP): strip the masks and
+        return the raw per-layer mod-2^32 sums as uint32 arrays plus the
+        survivor list — the caller decodes with the distributed-DP plan
+        (fl_tpu.fl.distributed_dp.host_decode_average), which owns the
+        γ-grid and the fixed denominator."""
+        total, keys, shapes, survivors = self._stripped_modular_sum(updates)
+        out, offset = {}, 0
+        u32 = total.astype(np.uint32)
+        for k in keys:
+            size = int(np.prod(shapes[k], dtype=np.int64))
+            out[k] = u32[offset: offset + size].reshape(shapes[k])
+            offset += size
+        return out, survivors

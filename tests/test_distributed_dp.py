@@ -347,6 +347,116 @@ def test_distributed_checkpoint_resume(mnist, tmp_path):
     assert ra.train_loss == pytest.approx(rb.train_loss, rel=1e-6)
 
 
+# ===========================================================================
+# Wire composition: distributed-DP integer payloads through the full
+# Bonawitz protocol (secagg_wire mask_integer_payload / unmask_integer_sum)
+# ===========================================================================
+
+def _wire_parties(n, threshold=None, rn=5):
+    from fl_tpu.services.secagg_wire import (
+        SecAggClientSession,
+        SecAggServerRound,
+        generate_keypair,
+    )
+
+    ids = sorted(f"c{i}" for i in range(n))
+    kp = {cid: generate_keypair() for cid in ids}
+    srv = SecAggServerRound(rn, [(cid, kp[cid][1]) for cid in ids],
+                            threshold=threshold)
+    sessions = {
+        cid: SecAggClientSession(cid, kp[cid][0], rn, srv.roster,
+                                 srv.nonce, srv.threshold, srv.frac_bits)
+        for cid in ids
+    }
+    for cid in ids:
+        srv.add_share_upload(cid, sessions[cid].make_share_uploads())
+    for cid in ids:
+        sessions[cid].receive_shares(srv.shares_for(cid))
+    return ids, srv, sessions
+
+
+def _clip_flat(weights, c):
+    keys = sorted(weights)
+    flat = np.concatenate([np.asarray(weights[k], np.float64).ravel()
+                           for k in keys])
+    n = np.linalg.norm(flat)
+    return flat * min(1.0, c / n) if n > 0 else flat
+
+
+def _wire_round(n_clients, plan, drop=None, seed=0, rn=5):
+    from fl_tpu.core.types import ModelUpdate
+
+    ids, srv, sessions = _wire_parties(
+        n_clients, threshold=max(2, n_clients - 1), rn=rn)
+    rng = np.random.default_rng(seed)
+    true = {cid: {"w": rng.normal(0, 0.3, (6, 4)).astype(np.float32),
+                  "b": rng.normal(0, 0.3, (4,)).astype(np.float32)}
+            for cid in ids}
+    updates = []
+    for cid in ids:
+        payload = ddp.host_client_integer_payload(
+            true[cid], plan, np.random.default_rng(hash(cid) % 2 ** 31))
+        masked = sessions[cid].mask_integer_payload(payload)
+        assert masked["w"].dtype == np.uint32
+        if cid == drop:
+            continue  # died after masking, payload never arrived
+        updates.append(ModelUpdate(client_id=cid, round_number=rn,
+                                   model_weights=masked, num_samples=1,
+                                   training_loss=0.0))
+    survivors = [u.client_id for u in updates]
+    srv.freeze_survivors(survivors)
+    for cid in survivors:
+        srv.add_reveal(cid, sessions[cid].reveal(srv.survivors, srv.dropped))
+    summed, got_survivors = srv.unmask_integer_sum(updates)
+    assert got_survivors == sorted(survivors)
+    avg = ddp.host_decode_average(summed, plan)
+    expect_flat = sum(_clip_flat(true[cid], plan.clip_norm)
+                      for cid in survivors) / plan.expected_clients
+    got_flat = np.concatenate([avg[k].ravel()
+                               for k in sorted(avg)]).astype(np.float64)
+    return got_flat, expect_flat, len(survivors)
+
+
+def test_wire_integer_protocol_noiseless_is_exact_to_rounding():
+    """z=0: the decoded average must equal the clipped-delta mean up to
+    stochastic-rounding residue only (≤ γ·m/m̄ per coordinate)."""
+    plan = ddp.DistributedDPPlan(1.0, 12, 28, 4, 0.0)
+    got, expect, m = _wire_round(4, plan)
+    assert np.abs(got - expect).max() <= plan.gamma * m / 4 + 1e-12
+
+
+def test_wire_integer_protocol_noise_has_calibrated_scale():
+    plan = ddp.DistributedDPPlan(1.0, 12, 28, 4, 2.0)
+    got, expect, m = _wire_round(4, plan, seed=3)
+    resid = got - expect
+    sigma = plan.central_sigma_float(m)
+    # 28 coords: the residual std should be the calibrated σ (loose CLT
+    # band) and nothing should be wildly outside the tail
+    assert 0.4 * sigma < resid.std() < 2.0 * sigma
+    assert np.abs(resid).max() < 6 * sigma + plan.gamma
+
+
+def test_wire_integer_protocol_dropout_recovers_and_accounts():
+    """A client dying after masking: Shamir recovery salvages the round;
+    the decoded sum carries only the SURVIVORS' noise shares, so ε must be
+    charged at the survivor count (strictly more than full participation)."""
+    plan = ddp.DistributedDPPlan(1.0, 12, 28, 4, 1.0)
+    got, expect, m = _wire_round(4, plan, drop="c2", seed=7)
+    assert m == 3
+    sigma = plan.central_sigma_float(3)
+    assert np.abs(got - expect).max() < 8 * sigma + plan.gamma
+    eps_full = ddp.distributed_epsilon(plan, 1, 1e-5, realized=4)
+    eps_drop = ddp.distributed_epsilon(plan, 1, 1e-5, realized=3)
+    assert eps_drop > eps_full
+
+
+def test_wire_integer_payload_rejects_float_dtype():
+    ids, srv, sessions = _wire_parties(2)
+    with pytest.raises(ValueError, match="dtype"):
+        sessions[ids[0]].mask_integer_payload(
+            {"w": np.zeros((2, 2), np.float32)})
+
+
 def test_distributed_config_validation(mnist):
     with pytest.raises(ValueError, match="secure_aggregation|mod 2"):
         model = create_model("simple_cnn")
