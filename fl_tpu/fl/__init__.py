@@ -92,6 +92,13 @@ from fl_tpu.fl.robust_agg import (  # noqa: F401
     robust_combine_deltas,
     trimmed_mean_matrix,
 )
+from fl_tpu.fl.peft import (  # noqa: F401
+    LoRADense,
+    count_trainable,
+    lora_trainable_patterns,
+    merge_lora,
+    trainable_mask,
+)
 from fl_tpu.fl.distributed_dp import (  # noqa: F401
     DistributedDPPlan,
     distributed_epsilon,

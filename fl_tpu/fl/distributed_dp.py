@@ -271,6 +271,22 @@ def skellam_noise(keys: jax.Array, lam: float, dim: int) -> jax.Array:
     return jax.vmap(one)(keys)
 
 
+def aggregate_skellam_noise(key: jax.Array, lam_total,
+                            dim: int) -> jax.Array:
+    """(dim,) int32 Sk(2·lam_total) draw — the EXACT distribution of the
+    summed per-client shares (Skellam closure: Σ_m Sk(μ/m̄) = Sk(m·μ/m̄)),
+    sampled once on the aggregate instead of per client. The simulation
+    engine uses this by default (``dist_fuse_noise=True``): the released
+    sum is distributionally identical while the Poisson sampling cost
+    drops from 2·C·D draws to 2·D. ``lam_total`` may be traced (it scales
+    with the realized participant count)."""
+    k1, k2 = jax.random.split(key)
+    lam = jnp.asarray(lam_total, jnp.float32)
+    n1 = jax.random.poisson(k1, lam, (dim,), jnp.int32)
+    n2 = jax.random.poisson(k2, lam, (dim,), jnp.int32)
+    return n1 - n2
+
+
 def client_integer_payloads(mat: jax.Array, mask: jax.Array,
                             keys: jax.Array, gamma: float,
                             mu_local: float) -> jax.Array:

@@ -196,6 +196,7 @@ def make_local_train_fn(
     dp_sgd_fn: Optional[Callable] = None,
     homogeneous_epochs: bool = False,
     scaffold: bool = False,
+    grad_mask=None,
 ) -> Callable:
     """Build the single-client local-training function.
 
@@ -368,6 +369,15 @@ def make_local_train_fn(
                     grads = jax.tree.map(
                         lambda g, p, gp: g + mu * (p - gp),
                         grads, p32, global_params)
+                if grad_mask is not None:
+                    # parameter freezing (fl_tpu.fl.peft): applied LAST so
+                    # no gradient addend (DP noise, SCAFFOLD, proximal)
+                    # leaks into frozen leaves — masked grads give zero
+                    # Adam moments / SGD velocity, hence EXACTLY-zero
+                    # updates and bit-stable frozen params
+                    grads = jax.tree.map(
+                        lambda g, m: g * m.astype(g.dtype),
+                        grads, grad_mask)
                 updates, new_opt = optimizer.update(grads, opt_state, p32)
                 new_params = optax.apply_updates(p32, updates)
                 if store_bf16:

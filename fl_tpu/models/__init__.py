@@ -23,3 +23,4 @@ from fl_tpu.models.simple_cnn import SimpleCNN  # noqa: F401
 from fl_tpu.models.cifar10_cnn import CIFAR10CNN  # noqa: F401
 from fl_tpu.models.resnet import FederatedResNet, ResNetBlock  # noqa: F401
 from fl_tpu.models.mobilenet import LightweightMobileNet, MobileNetBlock  # noqa: F401
+from fl_tpu.models.vit import EncoderBlock, FederatedViT  # noqa: F401

@@ -19,6 +19,7 @@ from fl_tpu.models.simple_cnn import SimpleCNN
 from fl_tpu.models.cifar10_cnn import CIFAR10CNN
 from fl_tpu.models.resnet import FederatedResNet
 from fl_tpu.models.mobilenet import LightweightMobileNet
+from fl_tpu.models.vit import FederatedViT
 
 # name -> (module class, default input shape HWC)
 AVAILABLE_MODELS: Dict[str, Tuple[type, Tuple[int, int, int]]] = {
@@ -26,6 +27,9 @@ AVAILABLE_MODELS: Dict[str, Tuple[type, Tuple[int, int, int]]] = {
     "cifar10_cnn": (CIFAR10CNN, (32, 32, 3)),
     "federated_resnet": (FederatedResNet, (32, 32, 3)),
     "lightweight_mobilenet": (LightweightMobileNet, (32, 32, 3)),
+    # beyond the reference zoo: MXU-native attention architecture (pure
+    # dense GEMMs, LayerNorm-only — composes with every dp_mode)
+    "federated_vit": (FederatedViT, (32, 32, 3)),
 }
 
 _DATASET_INPUT_SHAPES = {

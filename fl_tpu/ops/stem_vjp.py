@@ -46,8 +46,9 @@ def _conv_fwd_raw(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
 
 @partial(jax.custom_vjp, nondiff_argnums=())
 def conv3x3_stem(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
-    """3x3/SAME stride-1 conv, 1 input channel (x: (B,H,W,1),
-    w: (3,3,1,F)) — standard forward, tap-GEMM wgrad backward."""
+    """3x3/SAME stride-1 conv (x: (B,H,W,C), w: (3,3,C,F)) — standard
+    forward, tap-GEMM wgrad backward. Profiled/tuned for the C=1 MNIST
+    stem; correct for any C."""
     return _conv_fwd_raw(x, w)
 
 
@@ -57,21 +58,23 @@ def _fwd(x, w):
 
 def _bwd(res, dy):
     x, w = res
-    B, H, W, _ = x.shape
+    B, H, W, C = x.shape
     F = w.shape[-1]
-    # nine pad-shifted views of the (small) input, flattened to the GEMM
-    # contraction axis: taps[t] = x_pad[:, ky:ky+H, kx:kx+W] row-major
-    xp = jnp.pad(x[..., 0], ((0, 0), (1, 1), (1, 1)))
+    # 9·C pad-shifted views of the (small) input, flattened to the GEMM
+    # contraction axis: taps[(ky,kx,c)] = x_pad[:, ky:ky+H, kx:kx+W, c]
+    # row-major (C == 1 for the MNIST stem this was profiled on; the
+    # general form keeps RGB stems correct)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
     taps = jnp.stack([
-        xp[:, ky:ky + H, kx:kx + W].reshape(B * H * W)
-        for ky in range(3) for kx in range(3)
-    ])  # (9, B*H*W)
+        xp[:, ky:ky + H, kx:kx + W, c].reshape(B * H * W)
+        for ky in range(3) for kx in range(3) for c in range(C)
+    ])  # (9*C, B*H*W)
     dyf = dy.reshape(B * H * W, F)
     dw = lax.dot_general(
         taps.astype(dy.dtype), dyf,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ).reshape(3, 3, 1, F).astype(w.dtype)
+    ).reshape(3, 3, C, F).astype(w.dtype)
     # exact dgrad (transposed conv) — dead-code-eliminated whenever the
     # stem input is data, which is every use in this repo
     dx = lax.conv_general_dilated(

@@ -202,6 +202,24 @@ class RoundEngineConfig:
     # inflation ≈4% at SimpleCNN scale (d≈422k) with int32 headroom for
     # thousands of clients (checked at config time).
     dist_bits: int = 14
+    # fuse the per-client Skellam shares into ONE aggregate draw on the
+    # summed vector — EXACTLY the same distribution (Skellam closure:
+    # Σ_m Sk(μ/m̄) = Sk(m·μ/m̄)) for everything the engine releases, at
+    # 2·D Poisson draws instead of 2·C·D (measured: per-client sampling
+    # halved round throughput at 512 clients). Set False to simulate the
+    # per-client noised payloads themselves (what wire clients transmit).
+    dist_fuse_noise: bool = True
+    # parameter-efficient fine-tuning (fl.peft): regex patterns over the
+    # flax param paths; only matching leaves train (frozen leaves get
+    # EXACTLY-zero updates, so their FedAvg deltas are zero and the
+    # frozen region of the global model is bit-stable across rounds).
+    # Pair with models.FederatedViT(lora_rank=r) and
+    # fl.peft.lora_trainable_patterns() for LoRA federated fine-tuning.
+    # Composes with every dp_mode (masking is gradient post-processing;
+    # accounting stays conservative on the full tree); drift correctors
+    # (scaffold/fednova/feddyn) assume full-dimension trajectories and
+    # are refused.
+    trainable_patterns: Optional[Tuple[str, ...]] = None
     # FedDyn dynamic regularization (Acar et al. 2021, fl.feddyn): each
     # client minimizes L_i(θ) − ⟨g_i, θ⟩ + (α/2)‖θ − θ_g‖² — the linear
     # term rides the trainer's correction operand, the quadratic IS
@@ -539,6 +557,26 @@ class FederatedRoundEngine:
                     "feddyn owns the server step (θ ← mean θ_i − h/α); "
                     "server_optimizer must be 'none'")
 
+        # parameter freezing (fl.peft): the grad mask needs the param
+        # structure, so init the variables up front and reuse them below
+        self._grad_mask = None
+        self._init_variables = None
+        if config.trainable_patterns:
+            if config.scaffold or config.fednova or config.feddyn_alpha > 0:
+                raise ValueError(
+                    "trainable_patterns (parameter freezing) cannot "
+                    "compose with scaffold/fednova/feddyn: drift "
+                    "correctors assume full-dimension local trajectories")
+            from fl_tpu.fl.peft import count_trainable, trainable_mask
+
+            self._init_variables = model.init(
+                prng.stream_key(self._root_key, prng.Stream.INIT))
+            self._grad_mask = trainable_mask(
+                self._init_variables["params"], config.trainable_patterns)
+            tr, tot = count_trainable(self._grad_mask)
+            logger.info("parameter freezing: %d/%d params trainable "
+                        "(%.1f%%)", tr, tot, 100.0 * tr / max(tot, 1))
+
         self._augment_fn = augment_fn
         self._built_homogeneous: Optional[bool] = None
         self._build_pipeline()
@@ -566,8 +604,10 @@ class FederatedRoundEngine:
             self.test_images = self.test_labels = None
 
         self.round_number = 0
-        self.global_variables: Variables = model.init(
-            prng.stream_key(self._root_key, prng.Stream.INIT)
+        self.global_variables: Variables = (
+            self._init_variables if self._init_variables is not None
+            else model.init(
+                prng.stream_key(self._root_key, prng.Stream.INIT))
         )
         if config.dp_mode == "dp_sgd" and "batch_stats" in self.global_variables:
             raise ValueError(
@@ -779,6 +819,7 @@ class FederatedRoundEngine:
             # enables the per-client correction operand (SCAFFOLD's c−c_i
             # or FedDyn's −g_i linear term)
             scaffold=config.scaffold or config.feddyn_alpha > 0,
+            grad_mask=self._grad_mask,
         )
         self._built_homogeneous = homogeneous
 
@@ -1193,9 +1234,27 @@ class FederatedRoundEngine:
                 mat, spec = stack_flatten(clipped)
                 dkeys = jax.vmap(lambda k: jax.random.fold_in(
                     k, int(prng.Stream.DISTRIBUTED_DP)))(keys)
-                ints = ddp.client_integer_payloads(
-                    mat, mask, dkeys, plan.gamma, plan.mu_local)
-                total = psum_(jnp.sum(ints, axis=0))
+                m_real = psum_(mask.sum())
+                if cfg.dist_fuse_noise:
+                    # quantize per client; draw the summed noise ONCE on
+                    # the aggregate (exact by Skellam closure). The noise
+                    # key is round-derived and replicated — every shard
+                    # adds the identical draw AFTER the psum.
+                    rk = jax.vmap(
+                        lambda k: jax.random.fold_in(k, 0))(dkeys)
+                    ints = ddp.stochastic_round(mat, plan.gamma, rk)
+                    ints = ints * mask.astype(jnp.int32)[:, None]
+                    total = psum_(jnp.sum(ints, axis=0))
+                    nkey = prng.stream_key(
+                        prng.round_key(self._root_key, round_idx),
+                        prng.Stream.DISTRIBUTED_DP)
+                    total = total + ddp.aggregate_skellam_noise(
+                        nkey, m_real * (plan.mu_local / 2.0),
+                        mat.shape[1])
+                else:
+                    ints = ddp.client_integer_payloads(
+                        mat, mask, dkeys, plan.gamma, plan.mu_local)
+                    total = psum_(jnp.sum(ints, axis=0))
                 avg = ddp.decode_average(total, plan.gamma,
                                          plan.expected_clients)
                 avg_tree = stack_unflatten(avg[None], spec)
@@ -1203,7 +1262,6 @@ class FederatedRoundEngine:
                     lambda g, d: (g + d[0].astype(jnp.float32))
                     .astype(g.dtype),
                     global_vars, avg_tree)
-                m_real = psum_(mask.sum())
                 sigma = (jnp.float32(plan.gamma)
                          * jnp.sqrt(jnp.float32(plan.mu_local) * m_real)
                          / jnp.float32(plan.expected_clients))

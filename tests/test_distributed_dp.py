@@ -207,7 +207,8 @@ def mnist():
 
 
 def make_engine(mnist, epsilon=8.0, z=1.0, bits=14, participation=1.0,
-                seed=0, mesh=None, num_clients=4, dp_mode="distributed"):
+                seed=0, mesh=None, num_clients=4, dp_mode="distributed",
+                fuse=True):
     model = create_model("simple_cnn")
     fa = make_federated_arrays(mnist, num_clients=num_clients,
                                strategy="iid", samples_per_client=32,
@@ -218,7 +219,7 @@ def make_engine(mnist, epsilon=8.0, z=1.0, bits=14, participation=1.0,
         privacy=PrivacyConfig(epsilon=epsilon, delta=1e-5,
                               max_grad_norm=1.0, noise_multiplier=z),
         participation_rate=participation,
-        dist_bits=bits,
+        dist_bits=bits, dist_fuse_noise=fuse,
         seed=seed, max_clients=num_clients,
     )
     return FederatedRoundEngine(model, fa, cfg, mesh=mesh)
@@ -238,11 +239,25 @@ def test_distributed_round_runs_and_accounts(mnist):
     assert ledger[0]["metadata"]["realized_clients"] == 4
 
 
-def test_distributed_matches_client_dp_at_negligible_noise(mnist):
+def test_aggregate_skellam_noise_matches_summed_shares():
+    """dist_fuse_noise correctness: Sk(m·μ_local) drawn once must have the
+    same moments as m summed per-client Sk(μ_local) shares (closure)."""
+    lam_local, m = 8.0, 16
+    fused = np.asarray(ddp.aggregate_skellam_noise(
+        prng.root_key(3), m * lam_local, 200_000), np.float64)
+    summed = np.asarray(ddp.skellam_noise(_keys(m, seed=4), lam_local,
+                                          200_000), np.float64).sum(axis=0)
+    assert abs(fused.mean()) < 0.5 and abs(summed.mean()) < 0.5
+    assert fused.var() == pytest.approx(2 * m * lam_local, rel=0.02)
+    assert summed.var() == pytest.approx(2 * m * lam_local, rel=0.02)
+
+
+@pytest.mark.parametrize("fuse", [True, False])
+def test_distributed_matches_client_dp_at_negligible_noise(mnist, fuse):
     """With z→0 and a fine grid, a distributed round must coincide with a
     client_dp round (identical clip + fixed-denominator mean) up to the
-    quantization residue."""
-    d = make_engine(mnist, epsilon=1e9, z=1e-4, bits=16, seed=3)
+    quantization residue — in both noise formulations."""
+    d = make_engine(mnist, epsilon=1e9, z=1e-4, bits=16, seed=3, fuse=fuse)
     c = make_engine(mnist, epsilon=1e9, z=1e-4, seed=3, dp_mode="client_dp")
     mask = np.ones(4, np.float32)
     d.run_round(mask=mask, evaluate=False)

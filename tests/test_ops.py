@@ -580,3 +580,38 @@ class TestConvVJP:
             lambda a, b: np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-5),
             g1, g2)
+
+
+def test_conv3x3_stem_wgrad_matches_autodiff_any_channels():
+    """fl_tpu.ops.stem_vjp tap-GEMM backward == autodiff of the plain
+    conv, for the profiled C=1 stem AND RGB stems (regression: the bwd
+    once hardcoded one input channel and broke simple_cnn on CIFAR
+    shapes)."""
+    import jax
+    from jax import lax
+
+    from fl_tpu.ops.stem_vjp import conv3x3_stem
+
+    rng = np.random.default_rng(0)
+    for C in (1, 3):
+        x = jnp.asarray(rng.normal(0, 1, (2, 8, 8, C)), jnp.float32)
+        w = jnp.asarray(rng.normal(0, 0.3, (3, 3, C, 5)), jnp.float32)
+        tgt = jnp.asarray(rng.normal(0, 1, (2, 8, 8, 5)), jnp.float32)
+
+        def ref(x, w):
+            return lax.conv_general_dilated(
+                x, w, (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+        def loss(fn):
+            return lambda x, w: jnp.sum((fn(x, w) - tgt) ** 2)
+
+        np.testing.assert_allclose(np.asarray(conv3x3_stem(x, w)),
+                                   np.asarray(ref(x, w)),
+                                   rtol=1e-5, atol=1e-5)
+        dx_r, dw_r = jax.grad(loss(ref), (0, 1))(x, w)
+        dx_n, dw_n = jax.grad(loss(conv3x3_stem), (0, 1))(x, w)
+        np.testing.assert_allclose(np.asarray(dw_n), np.asarray(dw_r),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(dx_n), np.asarray(dx_r),
+                                   rtol=1e-4, atol=1e-4)
