@@ -92,6 +92,11 @@ from fl_tpu.fl.robust_agg import (  # noqa: F401
     robust_combine_deltas,
     trimmed_mean_matrix,
 )
+from fl_tpu.fl.vertical import (  # noqa: F401
+    VerticalConfig,
+    VerticalFLEngine,
+    split_features,
+)
 from fl_tpu.fl.peft import (  # noqa: F401
     LoRADense,
     count_trainable,
