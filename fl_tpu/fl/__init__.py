@@ -92,6 +92,12 @@ from fl_tpu.fl.robust_agg import (  # noqa: F401
     robust_combine_deltas,
     trimmed_mean_matrix,
 )
+from fl_tpu.fl.analytics import (  # noqa: F401
+    RandomizedResponse,
+    dp_histogram,
+    dp_quantiles,
+    heavy_hitters,
+)
 from fl_tpu.fl.vertical import (  # noqa: F401
     VerticalConfig,
     VerticalFLEngine,
