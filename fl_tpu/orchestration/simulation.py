@@ -82,6 +82,13 @@ class SimulationConfig:
     # (fl.secure_agg); grpc -> DH-keyed masked uploads over the wire
     # (services.secagg_wire)
     secure_aggregation: bool = False
+    # distributed DP over the grpc backend (fl.distributed_dp +
+    # secagg_wire integer payloads): clients ship Skellam-noised integer
+    # deltas; only the modular sum is decodable. Requires
+    # secure_aggregation=True; privacy_epsilon/noise_multiplier feed the
+    # shared plan.
+    distributed_dp: bool = False
+    ddp_bits: int = 14
     n_train_synth: int = 20_000
     n_test_synth: int = 4_000
     samples_per_client: Optional[int] = None
@@ -247,8 +254,11 @@ class FederatedLearningSimulation:
 
         cfg = self.config
         privacy = (PrivacyConfig(cfg.privacy_epsilon, cfg.privacy_delta,
-                                 cfg.max_grad_norm)
-                   if cfg.privacy_epsilon and cfg.dp_mode != "none" else None)
+                                 cfg.max_grad_norm,
+                                 noise_multiplier=cfg.noise_multiplier)
+                   if cfg.privacy_epsilon
+                   and (cfg.dp_mode != "none" or cfg.distributed_dp)
+                   else None)
         servicer = FederatedLearningServicer(
             round_config=RoundConfig(
                 min_clients=(cfg.num_clients if cfg.secure_aggregation
@@ -258,6 +268,8 @@ class FederatedLearningSimulation:
                 learning_rate=cfg.learning_rate, privacy_config=privacy,
             ),
             secure_aggregation=cfg.secure_aggregation,
+            distributed_dp=cfg.distributed_dp,
+            ddp_bits=cfg.ddp_bits,
             # cooperative local clients: give stragglers (first-round jit
             # compiles!) half the round timeout before declaring dropouts
             secagg_grace_s=max(30.0, cfg.timeout_s / 2),
@@ -284,6 +296,8 @@ class FederatedLearningSimulation:
                     n_train_synth=cfg.n_train_synth,
                     n_test_synth=cfg.n_test_synth,
                     secure_aggregation=cfg.secure_aggregation,
+                    distributed_dp=cfg.distributed_dp,
+                    ddp_bits=cfg.ddp_bits,
                 )
                 t.initialize()
                 t.start_training()

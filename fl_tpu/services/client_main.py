@@ -60,6 +60,11 @@ class ClientService:
             tls_root_cert_path=client_cfg.get("tls_root_cert"),
             tls_cert_path=client_cfg.get("tls_cert"),
             tls_key_path=client_cfg.get("tls_key"),
+            secure_aggregation=bool(
+                cfg.get("security", {}).get("secure_aggregation", False)),
+            distributed_dp=bool(
+                cfg.get("security", {}).get("distributed_dp", False)),
+            ddp_bits=int(cfg.get("security", {}).get("ddp_bits", 14)),
         )
         logger.info("client %s starting against %s:%s", client_id,
                     client_cfg.get("coordinator_host", "localhost"),

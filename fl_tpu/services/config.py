@@ -27,6 +27,12 @@ DEFAULT_COORDINATOR_CONFIG: Dict[str, Any] = {
                  "dataset": "mnist", "auto_start": False},
     "privacy": {"enabled": True, "epsilon": 1.0, "delta": 1.0e-5,
                 "max_grad_norm": 1.0, "noise_multiplier": 1.0},
+    # secure_aggregation: Bonawitz masked uploads (secagg_wire);
+    # distributed_dp additionally makes clients ship Skellam-noised
+    # INTEGER deltas, so only the modular sum is ever decodable — both
+    # sides must agree on these knobs AND the privacy section
+    "security": {"secure_aggregation": False, "distributed_dp": False,
+                 "ddp_bits": 14},
     "storage": {"checkpoint_dir": "checkpoints", "database_url": None},
     "logging": {"level": "INFO", "file": None},
 }
@@ -40,6 +46,8 @@ DEFAULT_CLIENT_CONFIG: Dict[str, Any] = {
                  "validation_split": 0.1},
     "privacy": {"enabled": True, "epsilon": 1.0, "delta": 1.0e-5,
                 "max_grad_norm": 1.0, "noise_multiplier": 1.0},
+    "security": {"secure_aggregation": False, "distributed_dp": False,
+                 "ddp_bits": 14},
     "compression": {"algorithm": "zlib"},
     "data": {"partition_strategy": "non_iid", "num_clients": 100,
              "alpha": 0.5},

@@ -93,11 +93,16 @@ class CoordinatorService:
                 krum_m=int(training_cfg.get("krum_m", 1)),
                 min_clients=int(training_cfg.get("min_clients", 2)),
             )
+        security_cfg = self.config.get("security", {})
         servicer = FederatedLearningServicer(
             round_config=round_config,
             model_name=training_cfg.get("model", "simple_cnn"),
             persistence=persistence,
             aggregator=aggregator,
+            secure_aggregation=bool(
+                security_cfg.get("secure_aggregation", False)),
+            distributed_dp=bool(security_cfg.get("distributed_dp", False)),
+            ddp_bits=int(security_cfg.get("ddp_bits", 14)),
         )
         self.grpc_server = CoordinatorGRPCServer(
             servicer,

@@ -95,6 +95,8 @@ class FederatedTrainer:
         tls_key_path: Optional[str] = None,
         secure_aggregation: bool = False,
         secagg_phase_timeout_s: float = 60.0,
+        distributed_dp: bool = False,
+        ddp_bits: int = 14,
     ):
         self.client_id = client_id
         self.dataset = dataset
@@ -140,6 +142,23 @@ class FederatedTrainer:
             from fl_tpu.services.secagg_wire import generate_keypair
 
             self._secagg_sk, self._secagg_pk = generate_keypair()
+        # distributed DP over the wire (fl_tpu.fl.distributed_dp): the
+        # client clips its DELTA, adds its own Skellam noise share, and
+        # ships integers through the masked-secagg pipeline — the
+        # coordinator (which must run with the same distributed_dp=True
+        # and ddp_bits) decodes only the modular sum. The plan's expected
+        # cohort is the frozen roster size, known identically to every
+        # party; z/clip come from the shared PrivacyConfig.
+        self.distributed_dp = bool(distributed_dp)
+        self.ddp_bits = int(ddp_bits)
+        if self.distributed_dp:
+            if not secure_aggregation:
+                raise ValueError(
+                    "distributed_dp releases only the integer SUM; it "
+                    "requires secure_aggregation=True (the masked wire)")
+            if privacy is None:
+                raise ValueError("distributed_dp needs a PrivacyConfig "
+                                 "(clip norm + noise multiplier)")
         self.connection = ClientConnectionManager(self.client)
 
         self.state = ClientState.IDLE
@@ -321,7 +340,18 @@ class FederatedTrainer:
         #    (ref: _apply_differential_privacy :428-469)
         eps_used = 0.0
         upload_weights = self._model.get_model_weights(new_vars)
-        if self.privacy is not None:
+        ddp_delta = None
+        if self.distributed_dp:
+            # the DP release is the integer pipeline inside the secagg
+            # block below (clip -> grid -> Skellam share -> mask); the
+            # classic per-client Gaussian noising does not apply
+            old_w = self._model.get_model_weights(variables)
+            ddp_delta = {k: np.asarray(jnp.asarray(upload_weights[k])
+                                       - jnp.asarray(old_w[k]))
+                         for k in upload_weights}
+            upload_weights = {k: np.asarray(v)
+                              for k, v in upload_weights.items()}
+        elif self.privacy is not None:
             self.state = ClientState.APPLYING_PRIVACY
             if self.budget_tracker.is_budget_exhausted(self.eps_r,
                                                        self.del_r):
@@ -386,8 +416,43 @@ class FederatedTrainer:
                 lambda: self.client.get_secagg_shares(round_number),
                 "peer share exchange")
             secagg_session.receive_shares(bundles)
-            upload_weights = secagg_session.mask_payload(
-                upload_weights, n_samples)
+            if self.distributed_dp:
+                # distributed-DP integer payload: plan derived from values
+                # every party shares (PrivacyConfig + frozen roster size +
+                # model dim), so client and coordinator decode identically
+                from fl_tpu.fl.distributed_dp import (
+                    DistributedDPPlan,
+                    distributed_epsilon,
+                    host_client_integer_payload,
+                )
+
+                dim = int(sum(np.asarray(v).size
+                              for v in ddp_delta.values()))
+                plan = DistributedDPPlan(
+                    clip_norm=float(self.privacy.max_grad_norm),
+                    bits=self.ddp_bits, dim=dim,
+                    expected_clients=len(info["peers"]),
+                    noise_multiplier=float(self.privacy.noise_multiplier))
+                seed_bytes = prng.stream_key(ckey,
+                                             prng.Stream.DISTRIBUTED_DP)
+                rng = np.random.default_rng(
+                    np.asarray(seed_bytes, np.uint32).tolist())
+                payload = host_client_integer_payload(ddp_delta, plan, rng)
+                upload_weights = secagg_session.mask_integer_payload(
+                    payload)
+                # conservative ledger charge: the summed noise could be as
+                # small as the minimum survivor set the protocol accepts
+                eps_used = distributed_epsilon(
+                    plan, 1, self.del_r or self.privacy.delta,
+                    realized=info["threshold"])
+                if self.budget_tracker.is_budget_exhausted(
+                        eps_used, self.del_r or self.privacy.delta):
+                    raise RuntimeError("privacy budget exhausted")
+                n_samples = 1  # ddp decodes an UNWEIGHTED fixed-denominator
+                #                mean; a true count would also leak
+            else:
+                upload_weights = secagg_session.mask_payload(
+                    upload_weights, n_samples)
         # under secure aggregation, per-client loss/accuracy are withheld
         # (masked weights would otherwise ship next to a plaintext training
         # signal — a membership/property-inference channel)
@@ -410,9 +475,13 @@ class FederatedTrainer:
         )
         if self.budget_tracker is not None and eps_used > 0.0:
             # charge the ledger BEFORE the payload leaves the process: a
-            # transmitted-but-rejected upload is still a release
-            self.budget_tracker.consume_budget(self.eps_r, self.del_r,
-                                               f"round_{round_number}")
+            # transmitted-but-rejected upload is still a release. In ddp
+            # mode the charge is the Skellam-RDP epsilon at the minimum
+            # survivor count, not the per-round Gaussian eps_r.
+            self.budget_tracker.consume_budget(
+                eps_used if self.distributed_dp else self.eps_r,
+                self.del_r or (self.privacy.delta if self.privacy else 0.0),
+                f"round_{round_number}")
         resp = self.client.submit_model_update(update)
         if not resp["success"]:
             raise RuntimeError(f"update rejected: {resp['message']}")

@@ -59,6 +59,8 @@ class FederatedLearningServicer:
         secure_aggregation: bool = False,
         secagg_threshold: Optional[int] = None,
         secagg_grace_s: float = 60.0,
+        distributed_dp: bool = False,
+        ddp_bits: int = 14,
     ):
         """``secure_aggregation=True`` switches the round protocol to
         Bonawitz CCS'17 double-masked uploads (fl_tpu.services.secagg_wire):
@@ -116,6 +118,24 @@ class FederatedLearningServicer:
         self.secure_aggregation = secure_aggregation
         self.secagg_threshold = secagg_threshold
         self.secagg_grace_s = float(secagg_grace_s)
+        # distributed DP over the wire (fl_tpu.fl.distributed_dp): clients
+        # ship clipped+gridded+Skellam-noised INTEGER deltas through the
+        # masked pipeline; aggregation decodes only the modular sum and
+        # applies the average delta to the current global model. Clients
+        # must run FederatedTrainer(distributed_dp=True) with the SAME
+        # ddp_bits and PrivacyConfig. Epsilon is accounted per round at
+        # the realized survivor count (self.ddp_epsilon_total).
+        self.distributed_dp = bool(distributed_dp)
+        self.ddp_bits = int(ddp_bits)
+        self.ddp_epsilon_total = 0.0
+        if self.distributed_dp:
+            if not secure_aggregation:
+                raise ValueError(
+                    "distributed_dp requires secure_aggregation=True")
+            if self.round_config.privacy_config is None:
+                raise ValueError(
+                    "distributed_dp needs round_config.privacy_config "
+                    "(clip norm + noise multiplier shared with clients)")
         # round_number -> SecAggServerRound. The roster inside is a freeze-
         # time SNAPSHOT of (client_id, pubkey) pairs: every roster fetcher
         # sees the same key for the same peer even if a client re-registers
@@ -610,14 +630,56 @@ class FederatedLearningServicer:
                 if rnd is None:
                     raise ValueError(f"secagg state for round "
                                      f"{round_number} vanished")
-                # reconstruct self masks + dropped clients' pair masks,
-                # strip them, decode the fixed-point weighted sum
-                new_model = rnd.unmask_aggregate(
-                    [u for u in updates
-                     if u.client_id in set(rnd.survivors or ())]
-                )
                 updates = [u for u in updates
                            if u.client_id in set(rnd.survivors or ())]
+                if self.distributed_dp:
+                    # decode the modular INTEGER sum (the only quantity the
+                    # protocol ever exposes) and apply the average delta to
+                    # the current global model; epsilon charged at the
+                    # realized survivor count
+                    from fl_tpu.core.types import GlobalModel
+                    from fl_tpu.fl.distributed_dp import (
+                        DistributedDPPlan,
+                        distributed_epsilon,
+                        host_decode_average,
+                    )
+
+                    if prev_model is None:
+                        raise ValueError(
+                            "distributed_dp aggregation needs an existing "
+                            "global model (deltas apply to it)")
+                    summed, survivors = rnd.unmask_integer_sum(updates)
+                    pc = self.round_config.privacy_config
+                    dim = int(sum(
+                        np.asarray(v).size
+                        for v in prev_model.model_weights.values()))
+                    plan = DistributedDPPlan(
+                        clip_norm=float(pc.max_grad_norm),
+                        bits=self.ddp_bits, dim=dim,
+                        expected_clients=len(rnd.roster_ids),
+                        noise_multiplier=float(pc.noise_multiplier))
+                    avg_delta = host_decode_average(summed, plan)
+                    new_weights = {
+                        k: (np.asarray(prev_model.model_weights[k],
+                                       np.float32) + avg_delta[k])
+                        for k in avg_delta}
+                    new_model = GlobalModel(
+                        round_number=round_number,
+                        model_weights=new_weights,
+                        accuracy_metrics={},
+                        participating_clients=survivors,
+                        convergence_score=0.0)
+                    eps_round = distributed_epsilon(
+                        plan, 1, pc.delta, realized=len(survivors))
+                    self.ddp_epsilon_total += eps_round
+                    logger.info(
+                        "distributed-DP round %d: %d survivors, "
+                        "eps_round=%.4f, eps_total=%.4f", round_number,
+                        len(survivors), eps_round, self.ddp_epsilon_total)
+                else:
+                    # reconstruct self masks + dropped clients' pair masks,
+                    # strip them, decode the fixed-point weighted sum
+                    new_model = rnd.unmask_aggregate(updates)
             else:
                 new_model = self.aggregator.aggregate_updates(updates)
             score = self.aggregator.calculate_convergence_metrics(

@@ -472,6 +472,60 @@ def test_wire_integer_payload_rejects_float_dtype():
             {"w": np.zeros((2, 2), np.float32)})
 
 
+def test_distributed_dp_grpc_round_e2e():
+    """Full deployment loop: FederatedTrainer(distributed_dp=True) clients
+    against a FederatedLearningServicer(distributed_dp=True) coordinator
+    over live gRPC — integer Skellam payloads ride the Bonawitz masked
+    pipeline, the coordinator decodes only the modular sum and applies the
+    average delta."""
+    from fl_tpu.orchestration.simulation import (
+        FederatedLearningSimulation,
+        SimulationConfig,
+    )
+
+    sim = FederatedLearningSimulation(SimulationConfig(
+        dataset="mnist", num_clients=2, num_rounds=1,
+        target_accuracy=0.999, backend="grpc",
+        n_train_synth=128, n_test_synth=32,
+        local_epochs=1, batch_size=8,
+        privacy_epsilon=1e6, privacy_delta=1e-6, dp_mode="none",
+        noise_multiplier=0.05, timeout_s=300,
+        heterogeneous_clients=False,
+        secure_aggregation=True, distributed_dp=True,
+    ))
+    results = sim.run_simulation()
+    assert results["rounds_completed"] >= 1
+    for status in results["client_results"].values():
+        assert status["rounds_completed"] >= 1
+        # the ddp ledger charged a Skellam-RDP epsilon, not eps_r
+        assert status["history"][0]["epsilon_used"] > 0
+    # per-client metrics withheld under the masked pipeline
+    assert results["final_accuracy"] is None
+
+
+def test_trainer_ddp_validation():
+    from fl_tpu.services.federated_trainer import FederatedTrainer
+
+    with pytest.raises(ValueError, match="secure_aggregation"):
+        FederatedTrainer(client_id="x", distributed_dp=True,
+                         privacy=PrivacyConfig(1.0, 1e-5))
+    with pytest.raises(ValueError, match="PrivacyConfig"):
+        FederatedTrainer(client_id="x", distributed_dp=True,
+                         secure_aggregation=True)
+
+
+def test_servicer_ddp_validation():
+    from fl_tpu.core.types import RoundConfig
+    from fl_tpu.services.grpc_server import FederatedLearningServicer
+
+    with pytest.raises(ValueError, match="secure_aggregation"):
+        FederatedLearningServicer(distributed_dp=True)
+    with pytest.raises(ValueError, match="privacy_config"):
+        FederatedLearningServicer(
+            round_config=RoundConfig(), secure_aggregation=True,
+            distributed_dp=True)
+
+
 def test_distributed_config_validation(mnist):
     with pytest.raises(ValueError, match="secure_aggregation|mod 2"):
         model = create_model("simple_cnn")
