@@ -50,7 +50,10 @@ capability extension.
 
 from __future__ import annotations
 
+import hashlib
 import logging
+import math
+import random
 import secrets
 import threading
 from typing import Dict, List, Optional, Sequence, Tuple
@@ -70,6 +73,47 @@ def default_threshold(n: int) -> int:
     """Bonawitz §7 recommends t > 2n/3 for robustness against mixed
     dropout+collusion; ceil(2n/3) bounded below by 2."""
     return max(2, -(-2 * n // 3))
+
+
+def pair_graph_degree(n: int) -> int:
+    """Pairwise-mask graph degree: complete for small rosters, k-regular
+    with k = Θ(log n) beyond (SecAgg+, Bell et al. CCS'20 — a sparse
+    random-ish graph keeps the sum hidden w.h.p. while cutting each
+    client's mask-PRG work and the dropout-recovery cost from O(n) to
+    O(log n) length-D streams). Even, ≥ 8, capped at n−1."""
+    if n <= 16:
+        return max(0, n - 1)
+    k = max(8, 2 * math.ceil(math.log2(n)))
+    if k % 2:
+        k += 1
+    return min(n - 1, k)
+
+
+def pair_neighbors(ids: Sequence[str], nonce: bytes) -> Dict[str, set]:
+    """Deterministic k-regular pairing graph over the roster: a circulant
+    (ring ± degree/2 offsets) laid over a roster-nonce-keyed random
+    permutation of the ids — every party derives the IDENTICAL graph from
+    (roster, nonce), no extra wire fields. The nonce-keyed permutation
+    randomizes the graph per roster freeze (a fixed circulant would let an
+    adversary pre-position colluders around a victim)."""
+    ids = list(ids)
+    n = len(ids)
+    k = pair_graph_degree(n)
+    if k >= n - 1:
+        return {cid: set(ids) - {cid} for cid in ids}
+    seed = int.from_bytes(
+        hashlib.sha256(b"secagg-graph|" + bytes(nonce)
+                       + b"|" + "|".join(ids).encode()).digest()[:8],
+        "big")
+    perm = list(ids)
+    random.Random(seed).shuffle(perm)
+    nb: Dict[str, set] = {cid: set() for cid in ids}
+    for i, cid in enumerate(perm):
+        for o in range(1, k // 2 + 1):
+            for j in ((i + o) % n, (i - o) % n):
+                nb[cid].add(perm[j])
+                nb[perm[j]].add(cid)
+    return nb
 
 
 def _flat_order(weights) -> List[str]:
@@ -114,6 +158,11 @@ class SecAggClientSession:
         self.frac_bits = int(frac_bits)
         self._index = {cid: i + 1 for i, (cid, _) in enumerate(self.roster)}
         self._pub = dict(self.roster)
+        # sparse pairwise-mask graph (SecAgg+): derived identically by
+        # every party from (roster, nonce). Shamir shares still go to the
+        # FULL roster (32-byte secrets — cheap); only the length-D mask
+        # streams are restricted to neighbors.
+        self._neighbors = pair_neighbors(ids, self.roster_nonce)[client_id]
 
         # fresh self-mask seed per session (= per roster freeze)
         self.b = secrets.token_bytes(32)
@@ -191,7 +240,7 @@ class SecAggClientSession:
             sc.self_mask_seed(self.b, self.round_number, self.roster_nonce),
             dim)) % sc.MASK_DOMAIN
         for cid, pub in self.roster:
-            if cid == self.client_id:
+            if cid == self.client_id or cid not in self._neighbors:
                 continue
             seed = sc.pair_mask_seed(sc.dh_shared(self.sk, pub),
                                      self.round_number, self.roster_nonce)
@@ -295,6 +344,7 @@ class SecAggServerRound:
         self.roster = sorted((cid, bytes(pub)) for cid, pub in roster)
         self.roster_ids = [cid for cid, _ in self.roster]
         self.nonce = secrets.token_bytes(16)
+        self.neighbors = pair_neighbors(self.roster_ids, self.nonce)
         self.threshold = (int(threshold) if threshold
                           else default_threshold(len(self.roster)))
         if not 1 <= self.threshold <= len(self.roster):
@@ -437,10 +487,13 @@ class SecAggServerRound:
 
         # strip the survivors' unpaired masks toward dropped clients:
         # survivor k's payload contains sign(k, j)·PRG(s_kj) for dropped j
+        # — only for k in j's pairing-graph neighborhood (SecAgg+)
         for j in dropped:
             sk_j = sc.private_key_from_bytes(
                 self._reconstruct(j, want_key=True))
             for k in survivors:
+                if k not in self.neighbors[j]:
+                    continue
                 seed = sc.pair_mask_seed(sc.dh_shared(sk_j, pubs[k]),
                                          self.round_number, self.nonce)
                 m = sc.mask_stream_u32(seed, dim).astype(np.uint64)

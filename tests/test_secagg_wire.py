@@ -529,3 +529,83 @@ def test_secure_aggregation_crash_clears_round_for_retry():
         assert 0 not in servicer.secagg_rounds, "roster not cleared"
     # the round did NOT advance (no silent bogus aggregate)
     assert servicer.current_round == 0
+
+
+# ===========================================================================
+# SecAgg+ sparse pairing graphs (Bell et al. CCS'20)
+# ===========================================================================
+
+def test_pair_graph_degree_and_determinism():
+    from fl_tpu.services.secagg_wire import pair_graph_degree, pair_neighbors
+
+    assert pair_graph_degree(3) == 2          # complete for small rosters
+    assert pair_graph_degree(16) == 15
+    assert pair_graph_degree(64) == 12        # 2*log2(64)
+    assert pair_graph_degree(512) == 18
+    assert pair_graph_degree(512) % 2 == 0
+
+    ids = sorted(f"c{i:03d}" for i in range(64))
+    nonce = b"\x07" * 16
+    nb1 = pair_neighbors(ids, nonce)
+    nb2 = pair_neighbors(ids, nonce)          # same inputs -> same graph
+    assert nb1 == nb2
+    # symmetric, k-regular, self-free
+    for cid, peers in nb1.items():
+        assert cid not in peers
+        assert len(peers) == 12
+        for p in peers:
+            assert cid in nb1[p]
+    # a different nonce gives a different graph
+    nb3 = pair_neighbors(ids, b"\x08" * 16)
+    assert nb3 != nb1
+
+
+def test_sparse_graph_protocol_recovers_mean_with_dropout():
+    """24-party roster -> k=10 sparse pairing graph: the full protocol
+    (shares, masked uploads, one dropout after masking, Shamir recovery)
+    still recovers the survivors' weighted mean exactly."""
+    from fl_tpu.services.secagg_wire import pair_graph_degree
+
+    n = 24
+    ids, srv, sessions = _protocol_parties(n, threshold=20)
+    k = pair_graph_degree(n)
+    assert k == 10
+    assert all(len(s._neighbors) == k for s in sessions.values())
+    # client and server derive the identical graph
+    assert {cid: sessions[cid]._neighbors for cid in ids} == srv.neighbors
+
+    _run_share_phase(ids, srv, sessions)
+    rng = np.random.default_rng(7)
+    true = {cid: _rand_weights(rng, scale=0.2) for cid in ids}
+    nsamp = {cid: 10 + i for i, cid in enumerate(ids)}
+    drop = ids[5]
+    updates = []
+    for cid in ids:
+        masked = sessions[cid].mask_payload(true[cid], nsamp[cid])
+        if cid == drop:
+            continue  # died after masking; payload never arrived
+        updates.append(ModelUpdate(client_id=cid, round_number=5,
+                                   model_weights=masked,
+                                   num_samples=nsamp[cid],
+                                   training_loss=0.0))
+    survivors = [u.client_id for u in updates]
+    srv.freeze_survivors(survivors)
+    assert srv.dropped == [drop]
+    for cid in survivors:
+        srv.add_reveal(cid, sessions[cid].reveal(srv.survivors, srv.dropped))
+    gm = srv.unmask_aggregate(updates)
+    total = sum(nsamp[cid] for cid in survivors)
+    for key in ("w", "b"):
+        expect = sum(nsamp[cid] * true[cid][key] for cid in survivors) / total
+        np.testing.assert_allclose(gm.model_weights[key], expect, atol=2e-4,
+                                   err_msg=key)
+
+
+def test_sparse_graph_payload_still_uniform():
+    n = 24
+    ids, srv, sessions = _protocol_parties(n, threshold=20)
+    _run_share_phase(ids, srv, sessions)
+    rng = np.random.default_rng(9)
+    masked = sessions[ids[0]].mask_payload(_rand_weights(rng, 0.01), 5)
+    u = np.concatenate([masked[k].ravel() for k in sorted(masked)])
+    assert u.astype(np.int64).std() > 0.2 * 2 ** 32
