@@ -83,8 +83,13 @@ class DistributedDPPlan:
     @property
     def delta2(self) -> float:
         """Integer L2 sensitivity: grid-scaled clip + the deterministic
-        stochastic-rounding inflation (each coordinate errs by < 1)."""
-        return float(2 ** self.bits) + math.sqrt(self.dim)
+        stochastic-rounding inflation. Each coordinate errs by < 1 in
+        exact arithmetic; the on-chip f32 add x/γ + u can round the sum by
+        one ulp at magnitude 2^bits, so the per-coordinate bound is
+        1 + 2^(bits−23) — the certification slack must not hide a
+        sensitivity underestimate."""
+        per_coord = 1.0 + 2.0 ** (self.bits - 23)
+        return float(2 ** self.bits) + per_coord * math.sqrt(self.dim)
 
     @property
     def delta1(self) -> float:

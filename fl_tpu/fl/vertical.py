@@ -165,9 +165,11 @@ class VerticalFLEngine:
     def _build(self):
         c = self.cfg
         steps = max(1, self.n // c.batch_size)
-        features, labels = self.features, self.labels
 
-        def epoch_fn(all_params, opt_state, epoch_idx):
+        # data enters as ARGUMENTS (not closure captures): captured arrays
+        # are baked into the compiled program as literals, which bloats
+        # the executable at dataset scale
+        def epoch_fn(all_params, opt_state, epoch_idx, features, labels):
             ekey = prng.round_key(prng.root_key(c.seed), epoch_idx)
             perm = jax.random.permutation(
                 prng.stream_key(ekey, prng.Stream.SHUFFLE), self.n)
@@ -214,7 +216,8 @@ class VerticalFLEngine:
         params = (self.bottom_params, self.top_params)
         (self.bottom_params, self.top_params), self.opt_state, loss, acc = \
             self._epoch_fn(params, self.opt_state,
-                           jnp.asarray(self.epoch, jnp.int32))
+                           jnp.asarray(self.epoch, jnp.int32),
+                           self.features, self.labels)
         self.epoch += 1
         return {"epoch": self.epoch - 1, "train_loss": float(loss),
                 "train_accuracy": float(acc)}

@@ -154,6 +154,10 @@ class FederatedLearningServicer:
                 round_number, model = restored
                 self.global_model = model
                 self.current_round = round_number + 1
+                # restore the distributed-DP privacy ledger (persisted in
+                # the model's metrics) — a restart must not reset ε
+                self.ddp_epsilon_total = float(
+                    model.accuracy_metrics.get("ddp_epsilon_total", 0.0))
                 logger.info(
                     "resumed from persisted global model of round %d "
                     "-> serving round %d", round_number, self.current_round)
@@ -672,6 +676,11 @@ class FederatedLearningServicer:
                     eps_round = distributed_epsilon(
                         plan, 1, pc.delta, realized=len(survivors))
                     self.ddp_epsilon_total += eps_round
+                    # the privacy ledger must survive coordinator restarts:
+                    # ride it in the persisted model's metrics (restored in
+                    # __init__ alongside the round number)
+                    new_model.accuracy_metrics["ddp_epsilon_total"] = \
+                        self.ddp_epsilon_total
                     logger.info(
                         "distributed-DP round %d: %d survivors, "
                         "eps_round=%.4f, eps_total=%.4f", round_number,

@@ -78,7 +78,9 @@ def test_plan_properties_and_calibration():
     plan = ddp.DistributedDPPlan(clip_norm=1.0, bits=14, dim=422_000,
                                  expected_clients=512, noise_multiplier=1.0)
     assert plan.gamma == pytest.approx(1.0 / 2 ** 14)
-    assert plan.delta2 == pytest.approx(2 ** 14 + math.sqrt(422_000))
+    # per-coordinate rounding error bound 1 + ulp(2^bits) in f32
+    assert plan.delta2 == pytest.approx(
+        2 ** 14 + (1 + 2.0 ** (14 - 23)) * math.sqrt(422_000))
     # full participation: central variance = (z·Δ₂)²
     assert plan.mu_local * 512 == pytest.approx(plan.mu_central)
     eps1 = ddp.distributed_epsilon(plan, rounds=1, delta=1e-5)
