@@ -56,18 +56,20 @@ _ALPHAS: Tuple[float, ...] = tuple(
 
 def gaussian_epsilon(noise_multiplier: float, delta: float,
                      alphas: Sequence[float] = _ALPHAS) -> float:
-    """(ε, δ) of a single Gaussian mechanism with σ = z·Δ via RDP:
-    RDP(α) = α/(2z²), ε = min_α RDP(α) + log(1/δ)/(α−1)."""
+    """Exact (ε, δ) of a single Gaussian mechanism with σ = z·Δ via the
+    analytic hockey-stick curve (Balle & Wang 2018, fl_tpu.fl.pld) — the
+    tight value, strictly below the RDP conversion
+    min_α α/(2z²) + log(1/δ)/(α−1) this function originally reported
+    (e.g. z for ε=2, δ=1e-5 drops ~11%, directly reducing the tree-node
+    noise of every DP-FTRL run calibrated through here). ``alphas`` is
+    retained for signature compatibility; the RDP grid is no longer
+    consulted because the analytic curve dominates it at every order."""
     z = float(noise_multiplier)
     if z <= 0:
         return float("inf")
-    best = float("inf")
-    for a in alphas:
-        if a <= 1.0:
-            continue
-        eps = a / (2.0 * z * z) + math.log(1.0 / delta) / (a - 1.0)
-        best = min(best, eps)
-    return best
+    from fl_tpu.fl.pld import analytic_gaussian_epsilon
+
+    return analytic_gaussian_epsilon(z, delta)
 
 
 def calibrate_noise_multiplier(epsilon: float, delta: float,

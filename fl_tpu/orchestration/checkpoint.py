@@ -118,6 +118,10 @@ def save_engine_checkpoint(engine, directory: str) -> Path:
         # without this a resumed dp_sgd/client_dp run would restart RDP
         # accounting from zero and silently overdraw the ε bound
         host_state["rdp_accountant"] = engine.rdp_accountant.state_dict()
+    if getattr(engine, "_pld_steps_taken", 0):
+        # PLD accountant mode gates the budget on a certified step count;
+        # a resume without the taken-steps counter would reopen the budget
+        host_state["pld_steps_taken"] = int(engine._pld_steps_taken)
     if getattr(engine, "clip_norm", None) is not None:
         # adaptive clipping: the tracked clip norm is round state — a
         # resume without it would restart C at the initial max_grad_norm
@@ -234,6 +238,8 @@ def restore_engine_checkpoint(engine, directory: str,
         engine.budget_tracker.load_state_dict(hs["privacy_budget"])
     if "rdp_accountant" in hs and getattr(engine, "rdp_accountant", None) is not None:
         engine.rdp_accountant.load_state_dict(hs["rdp_accountant"])
+    if "pld_steps_taken" in hs:
+        engine._pld_steps_taken = int(hs["pld_steps_taken"])
     if "clip_norm" in hs and engine.config.adaptive_clipping:
         engine.clip_norm = float(hs["clip_norm"])
     det = hs.get("detector", {})

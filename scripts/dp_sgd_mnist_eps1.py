@@ -37,6 +37,11 @@ def main() -> int:
                    choices=["auto", "ghost", "microbatch"],
                    help="DP-SGD implementation (ghost-norm two-pass vs "
                         "per-example microbatch; see fl_tpu.fl.privacy)")
+    p.add_argument("--accountant", default="pld", choices=["pld", "rdp"],
+                   help="noise calibration + final certification: the PLD "
+                        "accountant (fl_tpu.fl.pld) certifies the same "
+                        "mechanism ~10-15%% tighter than RDP, so 'pld' "
+                        "runs with less noise at the same certified ε")
     args = p.parse_args()
 
     import jax.numpy as jnp
@@ -45,14 +50,23 @@ def main() -> int:
     from fl_tpu.data import load_dataset, make_federated_arrays
     from fl_tpu.fl.accounting import calibrate_noise_multiplier
     from fl_tpu.fl.local_training import FederatedTrainingConfig
+    from fl_tpu.fl.pld import calibrate_noise_multiplier_pld
     from fl_tpu.models import create_model
     from fl_tpu.orchestration import FederatedRoundEngine, RoundEngineConfig
 
     q = args.batch / args.samples_per_client
     steps = args.rounds * (args.samples_per_client // args.batch)
-    z = calibrate_noise_multiplier(args.epsilon, args.delta, q, steps)
+    if args.accountant == "pld":
+        # calibrate on the SAME (coarse, pessimistic) grid the engine's
+        # budget gate uses (RoundEngineConfig.pld_dt) so the gate is
+        # guaranteed to admit exactly the planned steps; the final
+        # certification below re-evaluates on a finer grid (≤ this one)
+        z = calibrate_noise_multiplier_pld(args.epsilon, args.delta, q,
+                                           steps, dt=1e-3)
+    else:
+        z = calibrate_noise_multiplier(args.epsilon, args.delta, q, steps)
     print(f"clients={args.clients} q={q:.4f} steps={steps} "
-          f"calibrated z={z:.3f}")
+          f"calibrated z={z:.3f} ({args.accountant})")
 
     splits = load_dataset(
         "mnist",
@@ -78,7 +92,7 @@ def main() -> int:
             privacy=PrivacyConfig(epsilon=args.epsilon, delta=args.delta,
                                   max_grad_norm=1.0, noise_multiplier=z),
             max_clients=args.clients, seed=0, dp_microbatch=8,
-            dp_sgd_impl=args.dp_impl,
+            dp_sgd_impl=args.dp_impl, accountant=args.accountant,
         ),
         test_images=splits.normalized(splits.test_images),
         test_labels=splits.test_labels,
@@ -87,13 +101,25 @@ def main() -> int:
     for r in range(args.rounds):
         res = engine.run_round()
         eps = engine.rdp_accountant.get_epsilon(args.delta)
+        tag = "eps_rdp" if args.accountant == "pld" else "eps"
         print(f"round {r:3d}: acc={res.test_accuracy:.4f} "
-              f"loss={res.train_loss:.4f} eps={eps:.4f} "
+              f"loss={res.train_loss:.4f} {tag}={eps:.4f} "
               f"({res.round_time_s:.1f}s)")
     final = engine.history[-1].test_accuracy
-    eps = engine.rdp_accountant.get_epsilon(args.delta)
-    print(f"\nFINAL accuracy={final:.4f} at eps={eps:.4f} "
-          f"(target {args.target} @ 1.0) wall={time.time() - t0:.0f}s")
+    eps_rdp = engine.rdp_accountant.get_epsilon(args.delta)
+    if args.accountant == "pld":
+        # certify the steps actually taken with the tight hockey-stick
+        # bound (the per-round prints above are RDP, which is cheap but
+        # looser)
+        eps = engine.certified_epsilon(args.delta)
+        print(f"\nFINAL accuracy={final:.4f} at PLD-certified eps="
+              f"{eps:.4f} (RDP would report {eps_rdp:.4f}; target "
+              f"{args.target} @ {args.epsilon}) wall={time.time() - t0:.0f}s")
+    else:
+        eps = eps_rdp
+        print(f"\nFINAL accuracy={final:.4f} at eps={eps:.4f} "
+              f"(target {args.target} @ {args.epsilon}) "
+              f"wall={time.time() - t0:.0f}s")
     ok = final >= args.target and eps <= args.epsilon + 1e-6
     print("PASS" if ok else "FAIL")
     return 0 if ok else 1
