@@ -35,6 +35,7 @@ class Stream(enum.IntEnum):
     ROUNDING = 9
     UPLINK_Q = 10
     DISTRIBUTED_DP = 11
+    SERVER = 12  # server-side stochastic steps (e.g. FedDF proxy batches)
 
 
 def root_key(seed: int) -> jax.Array:
