@@ -11,6 +11,12 @@ from fl_tpu.fl.accounting import (  # noqa: F401
     calibrate_noise_multiplier,
     compute_epsilon,
 )
+from fl_tpu.fl.pld import (  # noqa: F401
+    PLDAccountant,
+    analytic_gaussian_epsilon,
+    calibrate_noise_multiplier_pld,
+    compute_epsilon_pld,
+)
 from fl_tpu.fl.compression import (  # noqa: F401
     ModelCompressionService,
     create_compression_service,
@@ -41,6 +47,14 @@ from fl_tpu.fl.clustered import (  # noqa: F401
 from fl_tpu.fl.async_fl import (  # noqa: F401
     AsyncConfig,
     AsyncFederatedEngine,
+)
+from fl_tpu.fl.feddf import (  # noqa: F401
+    FedDFConfig,
+    FedDFEngine,
+)
+from fl_tpu.fl.hpo import (  # noqa: F401
+    FederatedHPOEngine,
+    HPOConfig,
 )
 from fl_tpu.fl.hierarchical import (  # noqa: F401
     HierarchicalConfig,

@@ -197,6 +197,7 @@ def make_local_train_fn(
     homogeneous_epochs: bool = False,
     scaffold: bool = False,
     grad_mask=None,
+    traced_lr: bool = False,
 ) -> Callable:
     """Build the single-client local-training function.
 
@@ -220,6 +221,16 @@ def make_local_train_fn(
     gradient is never computed in DP mode (metrics come from a
     forward-only pass).
 
+    ``traced_lr=True`` makes the learning rate a TRACED per-call argument
+    (keyword ``lr``) instead of a compile-time constant, so one compiled
+    program can train clients at different rates (vmap over ``lr`` — the
+    federated HPO sweep, fl_tpu.fl.hpo). Exactness: in every optimizer
+    here (sgd/adam/adamw as optax builds them) the accumulator state
+    evolves independently of the learning rate and the final update is
+    LINEAR in it, so the optimizer is built at lr=1 and the update scaled
+    by the traced value — bit-identical math to a statically-built
+    optimizer at that lr.
+
     ``homogeneous_epochs=True`` promises every client runs exactly
     ``max_epochs`` epochs, which removes the three per-step masked
     tree-selects (params / mutable vars / optimizer state) that implement
@@ -232,7 +243,12 @@ def make_local_train_fn(
         max_epochs = cfg.local_epochs
     batch = cfg.batch_size
     steps_per_epoch = max(1, samples_per_client // batch)
-    optimizer = make_optimizer(cfg)
+    if traced_lr:
+        import dataclasses as _dc
+
+        optimizer = make_optimizer(_dc.replace(cfg, learning_rate=1.0))
+    else:
+        optimizer = make_optimizer(cfg)
     if cfg.param_storage_dtype not in (None, "bfloat16"):
         raise ValueError(
             f"param_storage_dtype must be None or 'bfloat16', got "
@@ -259,10 +275,14 @@ def make_local_train_fn(
     mu = float(cfg.proximal_mu)
 
     def local_train(variables, images_u8, labels, n_valid, epochs, rng,
-                    correction=None):
+                    correction=None, lr=None):
         if scaffold and correction is None:
             raise TypeError("scaffold=True local_train needs the "
                             "correction argument")
+        if traced_lr and lr is None:
+            raise TypeError("traced_lr=True local_train needs the lr "
+                            "argument")
+        lr_mul = jnp.asarray(lr, jnp.float32) if traced_lr else None
         params = variables["params"]
         global_params = params  # round-start global model (FedProx anchor)
         extra0 = {k: v for k, v in variables.items() if k != "params"}
@@ -379,6 +399,10 @@ def make_local_train_fn(
                         lambda g, m: g * m.astype(g.dtype),
                         grads, grad_mask)
                 updates, new_opt = optimizer.update(grads, opt_state, p32)
+                if traced_lr:
+                    # optimizer built at lr=1; the update is linear in lr
+                    updates = jax.tree.map(
+                        lambda u: u * lr_mul.astype(u.dtype), updates)
                 new_params = optax.apply_updates(p32, updates)
                 if store_bf16:
                     ctr = (epoch_idx * steps_per_epoch
