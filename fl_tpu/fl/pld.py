@@ -32,7 +32,7 @@ from __future__ import annotations
 
 import math
 from dataclasses import dataclass
-from typing import Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 
@@ -317,15 +317,38 @@ def pld_subsampled_gaussian(
     )
 
 
+def suggest_pld_dt(epsilon_scale: float, steps: int) -> float:
+    """Discretization interval sized for a ``steps``-fold composition.
+
+    Pessimistic round-up error accumulates LINEARLY across compositions
+    (up to dt per step), so a grid that is fine enough for one step can
+    swamp the entire RDP-vs-PLD gap over hundreds of steps — the choice
+    must scale as ε/steps. This caps the total discretization slack at
+    ~5% of the target/estimated ε."""
+    if steps <= 0:
+        return 1e-4
+    return float(np.clip(0.05 * max(epsilon_scale, 1e-3) / steps,
+                         1e-8, 1e-4))
+
+
 def compute_epsilon_pld(
     steps: int, q: float, noise_multiplier: float, delta: float,
-    dt: float = 1e-4,
+    dt: Optional[float] = None,
 ) -> float:
     """Total ε after ``steps`` Poisson-subsampled-Gaussian DP-SGD steps,
     max over add/remove adjacency. Drop-in tighter replacement for
-    fl_tpu.fl.accounting.compute_epsilon."""
+    fl_tpu.fl.accounting.compute_epsilon. ``dt=None`` (default) picks a
+    step-scaled grid from the cheap RDP upper bound via suggest_pld_dt —
+    pass an explicit dt only when a caller needs bit-reproducible
+    estimates across different step counts (e.g. a budget-gate bisection
+    matched to a calibration)."""
     if steps <= 0:
         return 0.0
+    if dt is None:
+        from fl_tpu.fl.accounting import compute_epsilon as _rdp_eps
+
+        dt = suggest_pld_dt(_rdp_eps(steps, q, noise_multiplier, delta),
+                            steps)
     rem, add = pld_subsampled_gaussian(q, noise_multiplier, dt)
     eps_r = rem.self_compose(steps).epsilon_at_delta(delta)
     eps_a = add.self_compose(steps).epsilon_at_delta(delta)
@@ -335,19 +358,53 @@ def compute_epsilon_pld(
 def calibrate_noise_multiplier_pld(
     target_epsilon: float, delta: float, q: float, steps: int,
     z_lo: float = 0.3, z_hi: float = 64.0, tol: float = 1e-3,
-    dt: float = 1e-4,
+    dt: Optional[float] = None,
 ) -> float:
     """Smallest z whose PLD-certified ε(steps) ≤ target. Strictly ≤ the
-    RDP calibration (fl_tpu.fl.accounting.calibrate_noise_multiplier)."""
-    if compute_epsilon_pld(steps, q, z_hi, delta, dt) > target_epsilon:
-        raise ValueError(
-            f"target ε={target_epsilon} unreachable even at z={z_hi}")
-    if compute_epsilon_pld(steps, q, z_lo, delta, dt) <= target_epsilon:
-        return z_lo
-    lo, hi = z_lo, z_hi
+    RDP calibration (fl_tpu.fl.accounting.calibrate_noise_multiplier).
+    ``dt=None`` sizes the grid from (target ε, steps) — callers that
+    also enforce a budget (the round engine's PLD gate) should pass THE
+    SAME suggest_pld_dt(target_epsilon, steps) value to both so the gate
+    provably admits the calibrated step count."""
+    if dt is None:
+        dt = suggest_pld_dt(target_epsilon, steps)
+
+    def eps_at(z: float) -> float:
+        return compute_epsilon_pld(steps, q, z, delta, dt)
+
+    # Bracket from the cheap RDP calibration: z_pld ≤ z_rdp always, and
+    # probing far-too-small z is where the PLD grids explode (per-step
+    # loss range grows ~1/z², e.g. z=0.3 at T=960 composes multi-million-
+    # bin supports). Start at z_rdp and walk down instead.
+    from fl_tpu.fl.accounting import (
+        calibrate_noise_multiplier as _rdp_calibrate,
+    )
+
+    try:
+        hi = min(z_hi, _rdp_calibrate(target_epsilon, delta, q, steps,
+                                      z_lo=z_lo, z_hi=z_hi, tol=tol))
+    except ValueError:
+        hi = z_hi
+    # hi certifies under the RDP bound; make sure the (pessimistically
+    # discretized) PLD estimate agrees, widening if grid slack bites
+    while eps_at(hi) > target_epsilon:
+        hi *= 1.25
+        if hi > z_hi * 1.25:
+            raise ValueError(
+                f"target ε={target_epsilon} unreachable even at z={z_hi}")
+    lo = hi
+    while lo > z_lo:
+        cand = max(z_lo, 0.7 * lo)
+        if eps_at(cand) > target_epsilon:
+            lo = cand
+            break
+        hi = cand
+        lo = cand
+        if cand == z_lo:
+            return z_lo
     while hi - lo > tol:
         mid = 0.5 * (lo + hi)
-        if compute_epsilon_pld(steps, q, mid, delta, dt) > target_epsilon:
+        if eps_at(mid) > target_epsilon:
             lo = mid
         else:
             hi = mid
@@ -362,10 +419,13 @@ class PLDAccountant:
     reported ε is the tight hockey-stick bound rather than the RDP
     conversion. Steps with identical (q, z) are batched and self-composed
     lazily, so per-round `step()` calls stay O(1) until ε is queried.
+    ``dt=None`` (default) sizes the shared grid at query time from the
+    total step count (suggest_pld_dt) — composition requires ONE grid
+    across all mechanism groups.
     """
 
-    def __init__(self, dt: float = 1e-4):
-        self.dt = float(dt)
+    def __init__(self, dt: Optional[float] = None):
+        self.dt = None if dt is None else float(dt)
         self._steps: dict[tuple[float, float], int] = {}
 
     def step(self, q: float, noise_multiplier: float,
@@ -376,10 +436,18 @@ class PLDAccountant:
     def get_epsilon(self, delta: float) -> float:
         if not self._steps:
             return 0.0
+        dt = self.dt
+        if dt is None:
+            from fl_tpu.fl.accounting import compute_epsilon as _rdp_eps
+
+            total = sum(self._steps.values())
+            scale = max(_rdp_eps(n, q, z, delta)
+                        for (q, z), n in self._steps.items())
+            dt = suggest_pld_dt(scale * len(self._steps), total)
         rem_total: PLDist | None = None
         add_total: PLDist | None = None
         for (q, z), n in self._steps.items():
-            rem, add = pld_subsampled_gaussian(q, z, self.dt)
+            rem, add = pld_subsampled_gaussian(q, z, dt)
             rem_n = rem.self_compose(n)
             add_n = add.self_compose(n)
             rem_total = rem_n if rem_total is None else rem_total.compose(rem_n)
@@ -392,6 +460,6 @@ class PLDAccountant:
                 "steps": [[q, z, n] for (q, z), n in self._steps.items()]}
 
     def load_state_dict(self, state: dict) -> None:
-        self.dt = float(state["dt"])
+        self.dt = None if state["dt"] is None else float(state["dt"])
         self._steps = {(float(q), float(z)): int(n)
                        for q, z, n in state["steps"]}

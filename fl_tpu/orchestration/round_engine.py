@@ -103,9 +103,13 @@ class RoundEngineConfig:
     # PLD-certified step count (pessimistic coarse grid) and enforces it
     # exactly; the RDP ledger keeps running for per-round diagnostics.
     accountant: str = "rdp"
-    # PLD discretization for the enforcement precompute; certified
-    # reporting via certified_epsilon() uses a finer grid
-    pld_dt: float = 1e-3
+    # PLD discretization for the budget gate. None = auto-sized per query
+    # (fl.pld.suggest_pld_dt — the round-up slack accumulates linearly
+    # over composed steps, so the grid must scale as ε/steps). Callers
+    # that calibrated z through calibrate_noise_multiplier_pld should
+    # pass the SAME suggest_pld_dt(ε, planned_steps) value here so the
+    # gate provably admits the calibrated step count.
+    pld_dt: Optional[float] = None
     # server-side optimizer on the FedAvg pseudo-gradient (Reddi et al.
     # 2021): "none" (plain FedAvg replacement, the reference behavior) |
     # "fedavgm" | "fedadam" | "fedyogi" — see fl.server_optimizer
@@ -1551,7 +1555,7 @@ class FederatedRoundEngine:
         return lo
 
     def certified_epsilon(self, delta: Optional[float] = None,
-                          dt: float = 1e-4) -> float:
+                          dt: Optional[float] = None) -> float:
         """ε certified for everything released so far, by the configured
         accountant. Under 'pld' this composes the tight privacy-loss
         distribution of the steps actually taken (fine grid); under 'rdp'
@@ -1560,6 +1564,12 @@ class FederatedRoundEngine:
         if self.config.accountant == "pld":
             from fl_tpu.fl.pld import compute_epsilon_pld
 
+            if dt is None:
+                # default to the gate/calibration grid: the auto grid is
+                # sized from the LOOSER RDP estimate and can be coarser
+                # than the grid the noise was calibrated on, over-
+                # reporting ε by pure discretization slack
+                dt = self.config.pld_dt
             q, _ = self._rdp_round_params()
             return compute_epsilon_pld(
                 self._pld_steps_taken, q,

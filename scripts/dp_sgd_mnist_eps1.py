@@ -56,13 +56,15 @@ def main() -> int:
 
     q = args.batch / args.samples_per_client
     steps = args.rounds * (args.samples_per_client // args.batch)
+    pld_dt = None
     if args.accountant == "pld":
-        # calibrate on the SAME (coarse, pessimistic) grid the engine's
-        # budget gate uses (RoundEngineConfig.pld_dt) so the gate is
-        # guaranteed to admit exactly the planned steps; the final
-        # certification below re-evaluates on a finer grid (≤ this one)
+        from fl_tpu.fl.pld import suggest_pld_dt
+
+        # one step-scaled grid for BOTH calibration and the engine's
+        # budget gate, so the gate provably admits the planned steps
+        pld_dt = suggest_pld_dt(args.epsilon, steps)
         z = calibrate_noise_multiplier_pld(args.epsilon, args.delta, q,
-                                           steps, dt=1e-3)
+                                           steps, dt=pld_dt)
     else:
         z = calibrate_noise_multiplier(args.epsilon, args.delta, q, steps)
     print(f"clients={args.clients} q={q:.4f} steps={steps} "
@@ -93,6 +95,7 @@ def main() -> int:
                                   max_grad_norm=1.0, noise_multiplier=z),
             max_clients=args.clients, seed=0, dp_microbatch=8,
             dp_sgd_impl=args.dp_impl, accountant=args.accountant,
+            pld_dt=pld_dt,
         ),
         test_images=splits.normalized(splits.test_images),
         test_labels=splits.test_labels,

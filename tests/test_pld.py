@@ -284,6 +284,30 @@ class TestEnginePLDMode:
 
 
 class TestGridPessimismOrdering:
+    def test_auto_dt_beats_rdp_at_headline_scale(self):
+        """Regression: round-up slack accumulates LINEARLY over composed
+        steps, so a fixed coarse grid erases the whole PLD advantage at
+        many-step configs — at the MNIST headline shape (q=1/32, T=960)
+        dt=1e-3 reported ε=1.22 where RDP says 1.00. The auto-sized grid
+        (suggest_pld_dt) must certify strictly below RDP here."""
+        q, z, T, d = 0.03125, 4.869, 960, 1e-5
+        e_rdp = compute_epsilon(T, q, z, d)
+        e_pld = compute_epsilon_pld(T, q, z, d)  # dt=None → step-scaled
+        assert e_pld < 0.9 * e_rdp
+
+    def test_auto_calibration_is_gate_consistent(self):
+        """The z calibrated at suggest_pld_dt(ε, steps) must certify the
+        full planned step count at that same grid — the invariant the
+        round engine's budget gate relies on."""
+        from fl_tpu.fl.pld import suggest_pld_dt
+
+        eps, d, q, T = 1.5, 1e-5, 0.0625, 96
+        dt = suggest_pld_dt(eps, T)
+        z = calibrate_noise_multiplier_pld(eps, d, q, T, dt=dt)
+        assert compute_epsilon_pld(T, q, z, d, dt=dt) <= eps + 1e-9
+        z_rdp = calibrate_noise_multiplier(eps, d, q, T)
+        assert z < z_rdp
+
     def test_finer_grid_is_tighter_but_still_valid(self):
         q, z, T, d = 0.1, 1.0, 64, 1e-5
         e_coarse = compute_epsilon_pld(T, q, z, d, dt=2e-3)
