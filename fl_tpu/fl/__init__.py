@@ -95,6 +95,7 @@ from fl_tpu.fl.scaffold import (  # noqa: F401
     scaffold_update,
 )
 from fl_tpu.fl.feddyn import feddyn_server_update  # noqa: F401
+from fl_tpu.fl.qffl import qffl_combine  # noqa: F401
 from fl_tpu.fl.privacy_config import (  # noqa: F401
     PrivacyConfigManager,
     PrivacyLevel,

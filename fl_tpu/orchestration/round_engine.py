@@ -241,6 +241,18 @@ class RoundEngineConfig:
     # State: per-client g_i (C, D) client-sharded + server h (D,)
     # replicated, carried across rounds and checkpointed. 0.0 = off.
     feddyn_alpha: float = 0.0
+    # q-FFL fair federated learning (Li et al. 2020, fl.qffl): reweight
+    # the round toward badly-served clients. Each client's delta is
+    # scaled by F_k(θ̂)^q (its loss at the RECEIVED model, evaluated
+    # before local training inside the same superstep) and the step is
+    # normalized by the paper's h_k estimate so the learning rate need
+    # not be re-tuned as q changes. q = 0.0 is exactly uniform FedAvg;
+    # q in [1, 5] is the paper's fairness range. None (default) = off.
+    # The weights depend on raw local losses (an unprivatized,
+    # data-dependent release), so q-FFL requires dp_mode="none" and no
+    # secure aggregation; it owns the server step (h-normalized), so
+    # server_optimizer/fednova/scaffold/feddyn are refused.
+    qffl_q: Optional[float] = None
 
 
 @dataclasses.dataclass
@@ -583,6 +595,36 @@ class FederatedRoundEngine:
                     "feddyn owns the server step (θ ← mean θ_i − h/α); "
                     "server_optimizer must be 'none'")
 
+        if config.qffl_q is not None:
+            if config.qffl_q < 0:
+                raise ValueError(
+                    f"qffl_q={config.qffl_q} must be >= 0 (0 is uniform "
+                    "FedAvg; the paper's fairness range is q in [1, 5])")
+            if config.dp_mode != "none":
+                raise ValueError(
+                    "q-FFL's aggregation weights F_k(θ̂)^q are computed "
+                    "from raw local losses — an unprivatized data-dependent "
+                    "release; composing with DP would require privatizing "
+                    "F_k too. Use dp_mode='none'")
+            if config.aggregation != "fedavg" or config.secure_aggregation:
+                raise ValueError(
+                    "q-FFL is a reweighting of the FedAvg reduction; it "
+                    "cannot compose with robust or secure aggregation "
+                    "(the server must apply per-client loss weights)")
+            if config.server_optimizer != "none":
+                raise ValueError(
+                    "q-FFL owns the server step (Δ/h normalization, Li et "
+                    "al. 2020 Alg. 2); server_optimizer must be 'none'")
+            if config.fednova or config.scaffold or config.feddyn_alpha > 0:
+                raise ValueError(
+                    "q-FFL replaces the round objective; compose with at "
+                    "most one of fednova/scaffold/feddyn — none here")
+            if config.uplink_compression != "none":
+                raise ValueError(
+                    "q-FFL's h_k normalization is defined on the exact "
+                    "local deltas; lossy uplink compression would distort "
+                    "‖Δw_k‖² and the EF residual interplay is unstudied")
+
         # parameter freezing (fl.peft): the grad mask needs the param
         # structure, so init the variables up front and reuse them below
         self._grad_mask = None
@@ -646,6 +688,13 @@ class FederatedRoundEngine:
             raise ValueError(
                 "feddyn's server model θ ← mean θ_i − h/α is defined on "
                 "params only (Acar et al. 2021 has no BN treatment); use "
+                "a stats-free model, e.g. create_model('cifar10_cnn', "
+                "norm='group')."
+            )
+        if config.qffl_q is not None and "batch_stats" in self.global_variables:
+            raise ValueError(
+                "q-FFL's server step θ ← θ − ΣΔ_k/Σh_k is defined on "
+                "params only (Li et al. 2020 has no BN treatment); use "
                 "a stats-free model, e.g. create_model('cifar10_cnn', "
                 "norm='group')."
             )
@@ -879,6 +928,8 @@ class FederatedRoundEngine:
                 mspec["clip_fraction"] = rep
             if cfg_.uplink_compression != "none":
                 mspec["uplink_ef_norm"] = rep
+            if cfg_.qffl_q is not None:
+                mspec["client_pre_loss"] = csh
             in_specs = (rep, rep, csh, csh, csh, csh, csh, csh)
             if cfg_.adaptive_clipping:
                 in_specs = in_specs + (rep,)
@@ -963,6 +1014,18 @@ class FederatedRoundEngine:
         scaffold = cfg.scaffold
         feddyn = cfg.feddyn_alpha > 0
         ftrl_on = dp_mode == "dp_ftrl"
+        qffl = cfg.qffl_q is not None
+        if qffl:
+            # F_k(θ̂): masked eval-mode loss over each client's shard at
+            # the model it received, computed INSIDE the superstep before
+            # local training (one forward pass over the shard — small
+            # next to local_epochs × the train loop)
+            from fl_tpu.fl.federated_eval import make_federated_eval_fn
+
+            qffl_eval = make_federated_eval_fn(
+                self.model,
+                samples_per_client=self.data.samples_per_client,
+                mean=self.data.mean, std=self.data.std)
         downlink = cfg.downlink_compression
         if downlink == "int8":
             from fl_tpu.ops.quantize import (
@@ -1053,6 +1116,11 @@ class FederatedRoundEngine:
                 lambda x: jnp.broadcast_to(x[None], (CL,) + x.shape),
                 ref_vars
             )
+
+            pre_losses = None
+            if qffl:
+                pre_losses = jax.vmap(qffl_eval)(
+                    stacked, images, labels, num_samples)["loss"]
 
             if scaffold or feddyn:
                 from fl_tpu.ops.flatten import (
@@ -1381,6 +1449,15 @@ class FederatedRoundEngine:
                     )
                 if feddyn:
                     pass  # new_global computed by the FedDyn server step
+                elif qffl:
+                    from fl_tpu.fl.qffl import qffl_combine
+
+                    # loss-weighted, h-normalized server step; deltas
+                    # measured vs θ̂ (what clients received), applied to
+                    # the full-precision master
+                    new_global = qffl_combine(
+                        global_vars, ref_vars, agg_src, pre_losses, mask,
+                        cfg.qffl_q, cfg.training.learning_rate, psum_)
                 elif cfg.aggregation != "fedavg":
                     from fl_tpu.fl.robust_agg import robust_combine_deltas
 
@@ -1485,6 +1562,9 @@ class FederatedRoundEngine:
                 out_metrics["clip_fraction"] = metrics["clip_fraction"]
             if uplink_kind != "none":
                 out_metrics["uplink_ef_norm"] = metrics["uplink_ef_norm"]
+            if qffl:
+                # F_k(θ̂) per client: the fairness signal q-FFL optimizes
+                out_metrics["client_pre_loss"] = pre_losses
             if scaffold:
                 return new_global, ef_out, (sc_c_out, sc_ci_out), out_metrics
             if feddyn:
@@ -1928,6 +2008,12 @@ class FederatedRoundEngine:
         self.last_client_losses = np.asarray(metrics["client_loss"])
         self.last_client_accuracies = np.asarray(
             metrics["client_accuracy"])
+        if "client_pre_loss" in metrics:
+            # q-FFL: F_k(θ̂) at the round's received model — the fairness
+            # signal the reweighting acts on (valid for ALL clients, not
+            # just participants: it is computed before local training)
+            self.last_client_pre_losses = np.asarray(
+                metrics["client_pre_loss"])
         self.history.append(result)
         self.round_number += 1
         return result

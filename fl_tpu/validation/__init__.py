@@ -24,6 +24,13 @@ from fl_tpu.validation.inversion import (  # noqa: F401
     evaluate_inversion_risk,
     inversion_report,
 )
+from fl_tpu.validation.membership import (  # noqa: F401
+    MembershipReport,
+    evaluate_membership_risk,
+    loss_attack_report,
+    membership_advantage_bound,
+    rank_auc,
+)
 from fl_tpu.validation.poisoning import (  # noqa: F401
     evaluate_backdoor_robustness,
     evaluate_poisoning_robustness,
