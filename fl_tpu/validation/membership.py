@@ -126,20 +126,15 @@ def membership_advantage_bound(epsilon: float, delta: float = 0.0) -> float:
     achieve against an (ε, δ)-DP mechanism.
 
     From the (ε, δ) hypothesis-testing region (Kairouz et al. 2015):
-    TPR ≤ e^ε·FPR + δ and FPR + e^ε·(1 − TPR) ≥ 1 − δ. Maximizing
-    TPR − FPR over the region gives the crossover FPR
-    f* = (1 − e^{−ε} − δ(1 + e^{−ε})) / (e^ε − e^{−ε}) and
-    advantage (e^ε − 1)·f* + δ — which reduces to tanh(ε/2) at δ=0
-    (Yeom et al.'s e^ε − 1 is the loose small-ε version). Clamped to
-    [δ, 1]."""
+    TPR ≤ e^ε·FPR + δ and TPR ≤ 1 − (1 − δ − FPR)/e^ε. The two
+    frontiers cross at FPR f* = (1 − δ)/(e^ε + 1), giving advantage
+    e^ε·f* + δ − f* = (e^ε − 1 + 2δ)/(e^ε + 1) — which reduces to
+    tanh(ε/2) at δ=0 (Yeom et al.'s e^ε − 1 is the loose small-ε
+    version) and to δ at ε=0. Clamped to [0, 1]."""
     if epsilon < 0 or delta < 0:
         raise ValueError("epsilon and delta must be non-negative")
     t = math.exp(epsilon)
-    if t == 1.0:  # ε = 0: advantage only from the δ slack
-        return min(1.0, delta)
-    f_star = (1.0 - 1.0 / t - delta * (1.0 + 1.0 / t)) / (t - 1.0 / t)
-    f_star = max(0.0, f_star)
-    return float(min(1.0, max(delta, (t - 1.0) * f_star + delta)))
+    return float(min(1.0, (t - 1.0 + 2.0 * delta) / (t + 1.0)))
 
 
 @dataclasses.dataclass
@@ -220,7 +215,7 @@ def evaluate_membership_risk(
     my = np.concatenate(members_y)[:max_members]
     if epsilon is None and engine.privacy is not None \
             and engine.config.dp_mode in ("dp_sgd", "client_dp",
-                                          "distributed"):
+                                          "distributed", "dp_ftrl"):
         # the engine's own certified budget is the honest ceiling input
         epsilon = float(engine.privacy.epsilon)
         delta = float(engine.privacy.delta)

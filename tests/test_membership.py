@@ -60,6 +60,18 @@ def test_advantage_bound_closed_forms():
             math.tanh(eps / 2.0), rel=1e-9)
     # ε=0: only the δ slack distinguishes
     assert membership_advantage_bound(0.0, 1e-5) == pytest.approx(1e-5)
+    # non-trivial δ: (e^ε − 1 + 2δ)/(e^ε + 1) — the δ term must NOT
+    # cancel (regression for the f* sign error that collapsed every δ
+    # to tanh(ε/2), under-reporting the ceiling by 2δ/(e^ε+1))
+    t = math.exp(1.0)
+    assert membership_advantage_bound(1.0, 0.1) == pytest.approx(
+        (t - 1.0 + 0.2) / (t + 1.0), rel=1e-12)
+    assert membership_advantage_bound(1.0, 0.1) == pytest.approx(
+        0.51591, abs=1e-5)
+    assert membership_advantage_bound(1.0, 0.1) > \
+        membership_advantage_bound(1.0, 0.0)
+    # δ large enough saturates at 1
+    assert membership_advantage_bound(0.5, 1.0) == 1.0
     # monotone in ε and bounded by 1
     b = [membership_advantage_bound(e, 1e-5) for e in (0.5, 1, 2, 4, 50)]
     assert all(x < y for x, y in zip(b, b[1:])) or b[-1] == 1.0
