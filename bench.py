@@ -215,6 +215,10 @@ def main() -> None:
         "value": round(rounds_per_sec, 3),
         "unit": "rounds/sec",
         "vs_baseline": round(rounds_per_sec / TARGET_ROUNDS_PER_SEC, 4),
+        # VERDICT r3 #3: track compile/warmup cost every bench run. On a
+        # warm persistent cache (JAX_COMPILATION_CACHE_DIR) this should be
+        # seconds; minutes means the cache missed (axon remote compile).
+        "warmup_s": round(compile_s, 1),
     }))
 
 

@@ -30,6 +30,15 @@ distill_steps=0 degenerates to exact FedAvg (the student IS the average),
 the tested anchor. The reference has no distillation machinery at all
 (its aggregation is the weighted average of src/aggregation/fedavg.py:
 267-288); this is a capability extension.
+
+Deployment surface: **simulation/on-chip only.** FedDF is a pure
+server-side aggregation change, so nothing about the client wire protocol
+would need to change — but the gRPC coordinator
+(fl_tpu.services.grpc_server) currently wires only FedAvg (reference
+parity) and the distributed-DP integer path; a deployment wanting FedDF
+over the wire would swap the servicer's aggregation call for
+`feddf_round`'s distillation step. Until that exists, treat FedDF results
+as simulation results.
 """
 
 from __future__ import annotations

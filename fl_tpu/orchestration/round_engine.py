@@ -151,6 +151,11 @@ class RoundEngineConfig:
     # UNCHANGED — the count release is paid for by slightly inflating the
     # aggregate noise (fl.privacy.adaptive_clip_delta_multiplier, Thm 1).
     # privacy.max_grad_norm becomes the INITIAL clip norm.
+    # Deployment surface: SIMULATION/ON-CHIP ONLY — the gRPC coordinator
+    # wires delta-mode (reference parity) and distributed-DP; a wire
+    # deployment of client_dp adaptive clipping would additionally need
+    # the b_t indicator in the update message. Treat results as sim
+    # results until then.
     adaptive_clipping: bool = False
     clip_quantile: float = 0.5    # γ: target quantile of client delta norms
     clip_lr: float = 0.2          # η_C: geometric-update learning rate
@@ -311,102 +316,13 @@ class FederatedRoundEngine:
         self._root_key = prng.root_key(config.seed)
         self._np_rng = np.random.default_rng(config.seed + 1)
 
-        from fl_tpu.fl.robust_agg import ROBUST_AGGREGATORS
-        from fl_tpu.fl.uplink import UPLINK_KINDS
+        # feature-composition validation: the declarative matrix
+        # (fl_tpu.orchestration.features) runs every unary and pairwise
+        # refusal rule in the original order; a new feature family that
+        # doesn't declare its row fails tests/test_feature_matrix.py
+        from fl_tpu.orchestration.features import validate_config
 
-        if config.uplink_compression not in UPLINK_KINDS:
-            raise ValueError(
-                f"uplink_compression={config.uplink_compression!r} not in "
-                f"{UPLINK_KINDS}")
-        if config.dp_mode not in ("none", "delta", "dp_sgd", "client_dp",
-                                  "dp_ftrl", "distributed"):
-            raise ValueError(
-                f"dp_mode={config.dp_mode!r} not in ('none', 'delta', "
-                "'dp_sgd', 'client_dp', 'dp_ftrl', 'distributed')")
-        if config.uplink_compression != "none" \
-                and config.dp_mode in ("client_dp", "dp_ftrl",
-                                       "distributed"):
-            raise ValueError(
-                "uplink compression cannot compose with client_dp/dp_ftrl/"
-                "distributed: the "
-                "central clip runs after reconstruction, so clipped-off "
-                "mass would never return to the error-feedback residual "
-                "(breaking EF's nothing-lost-only-delayed guarantee)")
-        if config.aggregation not in ROBUST_AGGREGATORS:
-            raise ValueError(
-                f"aggregation={config.aggregation!r} not in "
-                f"{ROBUST_AGGREGATORS}")
-        if config.aggregation != "fedavg":
-            if config.secure_aggregation:
-                raise ValueError(
-                    "robust aggregation needs the server to see real "
-                    "updates; it cannot compose with secure_aggregation")
-            if config.dp_mode in ("client_dp", "dp_ftrl", "distributed"):
-                raise ValueError(
-                    "client_dp/dp_ftrl/distributed own their aggregation "
-                    "(clipped sum + calibrated noise); robust aggregation "
-                    "applies to the other dp modes")
-            min_participants = int(np.floor(
-                config.participation_rate * self.num_clients))
-            if (config.aggregation == "trimmed_mean"
-                    and min_participants - 2 * config.trim_k < 1):
-                raise ValueError(
-                    f"trimmed_mean with trim_k={config.trim_k} needs more "
-                    f"than {2 * config.trim_k} expected participants")
-
-        if config.downlink_compression not in ("none", "bfloat16", "int8"):
-            raise ValueError(
-                f"downlink_compression={config.downlink_compression!r} "
-                "not in ('none', 'bfloat16', 'int8')")
-        if config.downlink_compression != "none":
-            if config.aggregation != "fedavg" or config.secure_aggregation:
-                raise ValueError(
-                    "downlink_compression composes only with plain FedAvg "
-                    "aggregation (robust/secure paths compute deltas "
-                    "against the uncompressed master)")
-            if config.dp_mode == "dp_ftrl" or config.scaffold:
-                raise ValueError(
-                    "downlink_compression cannot compose with dp_ftrl/"
-                    "scaffold: both carry server-side state defined "
-                    "against the exact broadcast")
-        if config.fednova:
-            if config.aggregation != "fedavg":
-                raise ValueError(
-                    "fednova is a reweighting of the FedAvg reduction; "
-                    f"it cannot compose with aggregation="
-                    f"{config.aggregation!r}")
-            if config.secure_aggregation:
-                raise ValueError(
-                    "fednova cannot compose with secure_aggregation: the "
-                    "pairwise masks cancel only under the FedAvg sample "
-                    "weights, and the server cannot reweight masked "
-                    "payloads per client")
-            if config.dp_mode not in ("none", "delta"):
-                raise ValueError(
-                    "fednova composes only with dp_mode in ('none', "
-                    "'delta'): delta noise is a per-client local release "
-                    "(reweighting is post-processing), but dp_sgd/"
-                    "client_dp/dp_ftrl calibrate central noise to FIXED "
-                    "aggregation weights")
-            if config.training.optimizer_type != "sgd":
-                raise ValueError(
-                    "fednova's effective-step normalization a_i is an "
-                    "SGD(-momentum) trajectory identity; set "
-                    "training.optimizer_type='sgd' (Wang et al. 2020 §4)")
-            if not 0.0 <= config.training.momentum < 1.0:
-                raise ValueError(
-                    "fednova needs momentum in [0, 1): a_i = "
-                    "[τ − ρ(1−ρ^τ)/(1−ρ)]/(1−ρ) diverges at ρ=1 "
-                    f"(got momentum={config.training.momentum})")
-            if config.training.proximal_mu:
-                raise ValueError(
-                    "fednova with a FedProx proximal term needs the "
-                    "proximal a_i correction (Wang et al. 2020 Table 1), "
-                    "which is not wired; use one or the other")
-            if config.scaffold:
-                raise ValueError(
-                    "fednova and scaffold both correct client drift; "
-                    "compose at most one")
+        validate_config(config, self.num_clients)
 
         # privacy bookkeeping (host ledger; noise itself is on-device)
         self.privacy = config.privacy
@@ -425,32 +341,9 @@ class FederatedRoundEngine:
             from fl_tpu.fl.accounting import RDPAccountant
 
             self.rdp_accountant = RDPAccountant()
-        if config.accountant not in ("rdp", "pld"):
-            raise ValueError(
-                f"accountant={config.accountant!r}: expected 'rdp' or 'pld'")
-        if (config.accountant == "pld"
-                and config.dp_mode not in ("dp_sgd", "client_dp")):
-            raise ValueError(
-                "accountant='pld' applies to the subsampled-Gaussian modes "
-                "(dp_sgd, client_dp); distributed uses the Skellam RDP "
-                "bound and dp_ftrl the exact analytic Gaussian curve")
         # PLD budget gate state: max steps certified under ε, steps taken
         self._pld_max_steps: Optional[int] = None
         self._pld_steps_taken: int = 0
-
-        if config.dp_mode == "distributed":
-            if config.secure_aggregation:
-                raise ValueError(
-                    "dp_mode='distributed' already aggregates over the "
-                    "integer ring mod 2^32 (where masking composes "
-                    "bit-exactly); the float pairwise-masking path "
-                    "(secure_aggregation=True) does not apply — see "
-                    "fl_tpu.fl.distributed_dp.masked_integer_payloads")
-            if config.dist_bits < 4 or config.dist_bits > 20:
-                raise ValueError(
-                    f"dist_bits={config.dist_bits} outside [4, 20]: below, "
-                    "quantization error dominates; above, int32 headroom "
-                    "for the modular sum disappears")
 
         # DP-FTRL setup: certify the whole-transcript ε up front and
         # freeze the tree geometry (sensitivity depends on T_max and k)
@@ -458,20 +351,6 @@ class FederatedRoundEngine:
         if config.dp_mode == "dp_ftrl":
             from fl_tpu.fl import dp_ftrl as ftrl
 
-            if config.ftrl_rounds is None or config.ftrl_rounds < 1:
-                raise ValueError(
-                    "dp_mode='dp_ftrl' requires ftrl_rounds (T_max): the "
-                    "tree height — and with it the calibrated node noise "
-                    "— is fixed before round 0")
-            if config.server_optimizer != "none":
-                raise ValueError(
-                    "dp_ftrl owns the server update (FTRL on noisy prefix "
-                    "sums); server_optimizer must be 'none'")
-            if config.secure_aggregation:
-                raise ValueError(
-                    "dp_ftrl + on-chip secure aggregation is not wired "
-                    "yet; use dp_ftrl alone (the wire secagg path is "
-                    "independent)")
             z = self.privacy.noise_multiplier
             eps_total = ftrl.gaussian_epsilon(z, self.privacy.delta)
             if eps_total > self.privacy.epsilon + 1e-9:
@@ -510,11 +389,6 @@ class FederatedRoundEngine:
         self.clip_norm: Optional[float] = None
         self._clip_count_stddev: Optional[float] = None
         if config.adaptive_clipping:
-            if config.dp_mode != "client_dp":
-                raise ValueError(
-                    "adaptive_clipping tracks the client-level central clip "
-                    "norm and requires dp_mode='client_dp' (delta mode "
-                    "noises locally per client; dp_sgd clips per example)")
             m_bar = max(1.0, config.participation_rate * self.num_clients)
             self._clip_count_stddev = (
                 config.clip_count_stddev
@@ -525,116 +399,13 @@ class FederatedRoundEngine:
                 self.privacy.noise_multiplier, self._clip_count_stddev)
             self.clip_norm = float(self.privacy.max_grad_norm)
 
-        if config.audit_injection and config.dp_mode != "client_dp":
-            raise ValueError(
-                "audit_injection replaces client deltas ahead of the "
-                "central clip and requires dp_mode='client_dp'")
         self._zero_injection = None  # built lazily on first run_round
-
-        if config.scaffold:
-            t = config.training
-            if t.optimizer_type != "sgd" or t.momentum != 0.0:
-                raise ValueError(
-                    "scaffold requires plain SGD local steps "
-                    "(optimizer_type='sgd', momentum=0.0): Option II "
-                    "recovers c_i+ from the exact SGD trajectory identity "
-                    "(w_g - w_local)/(K*lr) = avg corrected gradient")
-            if config.dp_mode != "none":
-                raise ValueError(
-                    "scaffold control variates are exact functions of raw "
-                    "local trajectories and are not privatized; composing "
-                    "SCAFFOLD with DP would require privatizing the c_i "
-                    "updates too (not implemented) — use dp_mode='none'")
-            if config.secure_aggregation:
-                raise ValueError(
-                    "scaffold forms per-client c_i from individual deltas, "
-                    "which secure aggregation is designed to hide from the "
-                    "server")
-            if t.param_storage_dtype is not None:
-                raise ValueError(
-                    "scaffold cannot compose with param_storage_dtype: "
-                    "the Option II recovery divides the trajectory by "
-                    "K*lr, amplifying the stochastic-rounding noise in "
-                    "the stored params by 1/(K*lr) into the control "
-                    "variates")
-
-        if config.feddyn_alpha < 0:
-            raise ValueError("feddyn_alpha must be >= 0")
-        if config.feddyn_alpha > 0:
-            if config.scaffold or config.fednova:
-                raise ValueError(
-                    "feddyn, scaffold, and fednova all correct client "
-                    "drift; compose at most one")
-            if config.dp_mode != "none":
-                raise ValueError(
-                    "feddyn's g_i states are exact functions of raw local "
-                    "deltas and are not privatized; use dp_mode='none'")
-            if config.secure_aggregation or config.aggregation != "fedavg":
-                raise ValueError(
-                    "feddyn owns the server update (participant mean − "
-                    "h/α); it cannot compose with secure/robust "
-                    "aggregation")
-            if (config.uplink_compression != "none"
-                    or config.downlink_compression != "none"):
-                raise ValueError(
-                    "feddyn's state updates g_i ← g_i − α(θ_i − θ_g) "
-                    "assume the exact broadcast and exact deltas; lossy "
-                    "uplink/downlink compression breaks the first-order "
-                    "identity")
-            if config.training.proximal_mu:
-                raise ValueError(
-                    "feddyn injects its own (α/2)-proximal term; leave "
-                    "training.proximal_mu at 0")
-            if config.training.param_storage_dtype is not None:
-                raise ValueError(
-                    "feddyn cannot compose with param_storage_dtype: the "
-                    "g_i state accumulates −αΔ from the stored params, "
-                    "folding stochastic-rounding noise into carried state")
-            if config.server_optimizer != "none":
-                raise ValueError(
-                    "feddyn owns the server step (θ ← mean θ_i − h/α); "
-                    "server_optimizer must be 'none'")
-
-        if config.qffl_q is not None:
-            if config.qffl_q < 0:
-                raise ValueError(
-                    f"qffl_q={config.qffl_q} must be >= 0 (0 is uniform "
-                    "FedAvg; the paper's fairness range is q in [1, 5])")
-            if config.dp_mode != "none":
-                raise ValueError(
-                    "q-FFL's aggregation weights F_k(θ̂)^q are computed "
-                    "from raw local losses — an unprivatized data-dependent "
-                    "release; composing with DP would require privatizing "
-                    "F_k too. Use dp_mode='none'")
-            if config.aggregation != "fedavg" or config.secure_aggregation:
-                raise ValueError(
-                    "q-FFL is a reweighting of the FedAvg reduction; it "
-                    "cannot compose with robust or secure aggregation "
-                    "(the server must apply per-client loss weights)")
-            if config.server_optimizer != "none":
-                raise ValueError(
-                    "q-FFL owns the server step (Δ/h normalization, Li et "
-                    "al. 2020 Alg. 2); server_optimizer must be 'none'")
-            if config.fednova or config.scaffold or config.feddyn_alpha > 0:
-                raise ValueError(
-                    "q-FFL replaces the round objective; compose with at "
-                    "most one of fednova/scaffold/feddyn — none here")
-            if config.uplink_compression != "none":
-                raise ValueError(
-                    "q-FFL's h_k normalization is defined on the exact "
-                    "local deltas; lossy uplink compression would distort "
-                    "‖Δw_k‖² and the EF residual interplay is unstudied")
 
         # parameter freezing (fl.peft): the grad mask needs the param
         # structure, so init the variables up front and reuse them below
         self._grad_mask = None
         self._init_variables = None
         if config.trainable_patterns:
-            if config.scaffold or config.fednova or config.feddyn_alpha > 0:
-                raise ValueError(
-                    "trainable_patterns (parameter freezing) cannot "
-                    "compose with scaffold/fednova/feddyn: drift "
-                    "correctors assume full-dimension local trajectories")
             from fl_tpu.fl.peft import count_trainable, trainable_mask
 
             self._init_variables = model.init(

@@ -17,7 +17,7 @@ Usage: PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu \
 """
 
 import os
-import re
+
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -33,28 +33,8 @@ from fl_tpu.fl.local_training import FederatedTrainingConfig
 from fl_tpu.models import create_model
 from fl_tpu.orchestration import FederatedRoundEngine, RoundEngineConfig
 
-# match the HLO *opcode* (instructions are named after the JAX primitive,
-# e.g. `%psum.7 = f32[] all-reduce(...)`; XLA may combine several psums
-# into ONE tuple-typed all-reduce), including async -start forms
-COLLECTIVE_RE = re.compile(
-    r"=\s*(\([^)]*\)|[^\s(]+)\s+(all-reduce|all-gather|reduce-scatter"
-    r"|collective-permute|all-to-all)(?:-start)?\(")
-TYPE_RE = re.compile(r"(f64|f32|bf16|f16|s32|u32|s64|u64|pred|s8|u8)"
-                     r"\[([\d,]*)\]")
-
-
-def dtype_bytes(hlo_type: str) -> int:
-    """Total bytes of an HLO type, incl. tuple types like (f32[8], ...)."""
-    width = {"f64": 8, "s64": 8, "u64": 8, "f32": 4, "s32": 4, "u32": 4,
-             "bf16": 2, "f16": 2, "pred": 1, "s8": 1, "u8": 1}
-    total = 0
-    for m in TYPE_RE.finditer(hlo_type):
-        n = 1
-        for d in m.group(2).split(","):
-            if d:
-                n *= int(d)
-        total += n * width[m.group(1)]
-    return total
+# shared with the always-on CI audit (tests/test_collective_audit.py)
+from fl_tpu.parallel.hlo_audit import collective_inventory  # noqa: E402
 
 
 def main():
@@ -91,10 +71,7 @@ def main():
     )
     hlo = engine._superstep.lower(*args).compile().as_text()
 
-    found = []
-    for m in COLLECTIVE_RE.finditer(hlo):
-        out_type, kind = m.group(1), m.group(2)
-        found.append((kind, out_type, dtype_bytes(out_type)))
+    found = collective_inventory(hlo)
     print(f"collectives in optimized HLO ({n_dev}-device mesh, "
           f"{clients} clients):")
     total = 0
