@@ -324,7 +324,13 @@ def suggest_pld_dt(epsilon_scale: float, steps: int) -> float:
     (up to dt per step), so a grid that is fine enough for one step can
     swamp the entire RDP-vs-PLD gap over hundreds of steps — the choice
     must scale as ε/steps. This caps the total discretization slack at
-    ~5% of the target/estimated ε."""
+    ~5% of the target/estimated ε while the ε/steps term stays inside the
+    [1e-8, 1e-4] clip; past ~5M composed steps (at ε≈1) the 1e-8 floor
+    binds and the slack bound degrades to steps·1e-8 — still SOUND
+    (pessimistic rounding upper-bounds the true ε at any grid; the budget
+    gate's bisection only ever certifies step counts whose computed ε fits
+    the budget), just looser than 5%. Round-4 adversarial review:
+    tests/test_pld.py pins the 5% bound in the clip regime."""
     if steps <= 0:
         return 1e-4
     return float(np.clip(0.05 * max(epsilon_scale, 1e-3) / steps,

@@ -620,6 +620,26 @@ class FederatedLearningServicer:
                     self.model_name, len(weights))
         return GlobalModel(round_number=0, model_weights=weights)
 
+    def _ddp_plan(self, dim: int, roster_len: int):
+        """Distributed-DP decode plan for a wire round — and the int32
+        headroom certificate. Round-4 adversarial review: the wire path
+        never certified headroom (the on-chip engine does at config time,
+        round_engine.py:489) — a large-roster/high-bits deployment would
+        silently wrap the modular sum and decode garbage. Refuse instead."""
+        from fl_tpu.fl.distributed_dp import (
+            DistributedDPPlan,
+            check_no_wraparound,
+        )
+
+        pc = self.round_config.privacy_config
+        plan = DistributedDPPlan(
+            clip_norm=float(pc.max_grad_norm),
+            bits=self.ddp_bits, dim=dim,
+            expected_clients=roster_len,
+            noise_multiplier=float(pc.noise_multiplier))
+        check_no_wraparound(plan, roster_len)
+        return plan
+
     def _perform_aggregation(self, round_number: int) -> None:
         """ref: grpc_server.py:465-506 — aggregate, convergence, advance."""
         t0 = time.time()
@@ -643,7 +663,6 @@ class FederatedLearningServicer:
                     # realized survivor count
                     from fl_tpu.core.types import GlobalModel
                     from fl_tpu.fl.distributed_dp import (
-                        DistributedDPPlan,
                         distributed_epsilon,
                         host_decode_average,
                     )
@@ -657,11 +676,7 @@ class FederatedLearningServicer:
                     dim = int(sum(
                         np.asarray(v).size
                         for v in prev_model.model_weights.values()))
-                    plan = DistributedDPPlan(
-                        clip_norm=float(pc.max_grad_norm),
-                        bits=self.ddp_bits, dim=dim,
-                        expected_clients=len(rnd.roster_ids),
-                        noise_multiplier=float(pc.noise_multiplier))
+                    plan = self._ddp_plan(dim, len(rnd.roster_ids))
                     avg_delta = host_decode_average(summed, plan)
                     new_weights = {
                         k: (np.asarray(prev_model.model_weights[k],

@@ -161,8 +161,11 @@ class SecAggClientSession:
         # sparse pairwise-mask graph (SecAgg+): derived identically by
         # every party from (roster, nonce). Shamir shares still go to the
         # FULL roster (32-byte secrets — cheap); only the length-D mask
-        # streams are restricted to neighbors.
-        self._neighbors = pair_neighbors(ids, self.roster_nonce)[client_id]
+        # streams are restricted to neighbors. The FULL graph is kept:
+        # reveal() audits the coordinator's survivor partition against it
+        # (isolation guard below).
+        self._graph = pair_neighbors(ids, self.roster_nonce)
+        self._neighbors = self._graph[client_id]
 
         # fresh self-mask seed per session (= per roster freeze)
         self.b = secrets.token_bytes(32)
@@ -317,6 +320,25 @@ class SecAggClientSession:
             raise ValueError(
                 f"refusing to reveal: {len(surv)} survivors < threshold "
                 f"{self.threshold}")
+        # Isolation guard (round-4 adversarial review): if EVERY
+        # pairing-graph neighbor of some survivor s is declared dropped,
+        # honest reveals would hand the coordinator both s's self-mask
+        # (s is a survivor) and every one of s's pair masks (reconstructed
+        # from the dropped neighbors' keys) — s's individual payload would
+        # be fully unmasked. The graph is deterministic from public
+        # (roster, nonce), so every honest client detects the
+        # targeted-dropout partition locally and aborts instead. The
+        # t > 2n/3 threshold then ensures the coordinator can never gather
+        # enough reveals for such a partition from honest clients.
+        for s in sorted(surv):
+            nbs = self._graph[s]
+            if nbs and not (nbs & surv):
+                raise ValueError(
+                    f"refusing to reveal: survivor {s!r} is isolated — all "
+                    "of its pairing-graph neighbors are declared dropped, "
+                    "so revealing would unmask its individual payload "
+                    "(targeted-dropout attack); the coordinator must drop "
+                    "it from the sum instead")
         self._revealed = True
         out = []
         for subject in sorted(surv):
@@ -394,7 +416,29 @@ class SecAggServerRound:
         with self._lock:
             if self.survivors is not None:
                 return
-            surv = sorted(set(submitted_ids) & set(self.roster_ids))
+            surv = set(submitted_ids) & set(self.roster_ids)
+            # Liveness counterpart of the client-side isolation guard: a
+            # survivor whose entire pairing-graph neighborhood dropped
+            # cannot be included in the sum (honest clients refuse to
+            # reveal such a partition — its payload would be unmaskable
+            # individually). Move it to the dropped set instead: its
+            # self-mask is then never revealed, so its payload stays
+            # hidden, and its pair masks strip through the normal
+            # dropped-key path. Cascade to a fixpoint (dropping one
+            # client can isolate another).
+            changed = True
+            while changed:
+                changed = False
+                for s in sorted(surv):
+                    nbs = self.neighbors[s]
+                    if nbs and not (nbs & surv):
+                        surv.discard(s)
+                        changed = True
+                        logger.warning(
+                            "secagg round %d: survivor %s isolated by "
+                            "dropouts — excluded from the sum to keep its "
+                            "payload hidden", self.round_number, s)
+            surv = sorted(surv)
             if len(surv) < self.threshold:
                 raise ValueError(
                     f"only {len(surv)} masked payloads < threshold "

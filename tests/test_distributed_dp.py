@@ -545,3 +545,22 @@ def test_distributed_config_validation(mnist):
             training=FederatedTrainingConfig(local_epochs=1, batch_size=8),
             dp_mode="distributed", uplink_compression="int8",
             privacy=PrivacyConfig(1.0, 1e-5), max_clients=4))
+
+
+def test_servicer_wire_plan_refuses_int32_wraparound():
+    """Round-4 adversarial review: the deployment (gRPC) decode path must
+    certify int32 headroom exactly like the on-chip engine does at config
+    time — a 4096-strong roster at dist_bits=20 puts the modular sum's
+    12-sigma envelope past 2^31 and must be refused BEFORE decoding."""
+    from fl_tpu.core.types import RoundConfig
+    from fl_tpu.services.grpc_server import FederatedLearningServicer
+
+    servicer = FederatedLearningServicer(
+        round_config=RoundConfig(
+            privacy_config=PrivacyConfig(1.0, 1e-5, max_grad_norm=1.0,
+                                         noise_multiplier=0.3)),
+        secure_aggregation=True, distributed_dp=True, ddp_bits=20)
+    # comfortable headroom at a realistic roster passes
+    servicer._ddp_plan(dim=421_770, roster_len=16)
+    with pytest.raises(ValueError, match="overflow"):
+        servicer._ddp_plan(dim=421_770, roster_len=4096)

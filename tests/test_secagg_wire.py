@@ -609,3 +609,79 @@ def test_sparse_graph_payload_still_uniform():
     masked = sessions[ids[0]].mask_payload(_rand_weights(rng, 0.01), 5)
     u = np.concatenate([masked[k].ravel() for k in sorted(masked)])
     assert u.astype(np.int64).std() > 0.2 * 2 ** 32
+
+
+# ===========================================================================
+# targeted-dropout isolation guard (round-4 adversarial review)
+# ===========================================================================
+
+def _sparse_roster(n=48, rn=9):
+    """A roster large enough that the pairing graph is SPARSE (n > 16), so
+    a survivor's full neighborhood fits inside the allowed dropout budget
+    (k = 2⌈log2 n⌉ = 12 ≤ n − t = 16 at n=48)."""
+    ids = sorted(f"c{i:02d}" for i in range(n))
+    keys = {cid: generate_keypair() for cid in ids}
+    srv = SecAggServerRound(rn, [(cid, keys[cid][1]) for cid in ids])
+    return ids, keys, srv
+
+
+def test_client_refuses_isolating_survivor_partition():
+    """An honest client must refuse to reveal under a survivor partition
+    where some survivor's ENTIRE pairing-graph neighborhood is declared
+    dropped: its self-mask plus all reconstructed pair masks would unmask
+    its individual payload."""
+    from fl_tpu.services.secagg_wire import pair_neighbors
+
+    ids, keys, srv = _sparse_roster()
+    graph = pair_neighbors(ids, srv.nonce)
+    victim = ids[7]
+    dropped = sorted(graph[victim])
+    assert victim not in dropped
+    revealer = next(cid for cid in ids
+                    if cid != victim and cid not in dropped)
+    assert len(ids) - len(dropped) >= srv.threshold  # partition is legal
+    sess = SecAggClientSession(revealer, keys[revealer][0], 9, srv.roster,
+                               srv.nonce, srv.threshold, srv.frac_bits)
+    survivors = [cid for cid in ids if cid not in dropped]
+    with pytest.raises(ValueError, match="isolated"):
+        sess.reveal(survivors, dropped)
+    # a partition keeping one neighbor alive is accepted (needs the
+    # share phase to have run; use held self-shares only — construct a
+    # fresh session and give it its own shares back)
+    sess2 = SecAggClientSession(revealer, keys[revealer][0], 9, srv.roster,
+                                srv.nonce, srv.threshold, srv.frac_bits)
+    keep = sorted(graph[victim])[0]
+    dropped2 = sorted(set(dropped) - {keep})
+    survivors2 = [cid for cid in ids if cid not in dropped2]
+    with pytest.raises(KeyError):
+        # passes the isolation guard, then fails only on the missing
+        # foreign shares (share phase not run in this unit test)
+        sess2.reveal(survivors2, dropped2)
+
+
+def test_server_freeze_drops_isolated_survivors_cascade():
+    """The coordinator's survivor freeze must move an isolated survivor to
+    the dropped set (its payload cannot be safely included), cascading
+    until no survivor is isolated."""
+    ids, keys, srv = _sparse_roster()
+    victim = ids[3]
+    submitted = [cid for cid in ids if cid not in srv.neighbors[victim]]
+    assert victim in submitted
+    srv.freeze_survivors(submitted)
+    assert victim in srv.dropped  # moved: all its neighbors dropped
+    # no remaining survivor is isolated
+    surv = set(srv.survivors)
+    for s in srv.survivors:
+        assert srv.neighbors[s] & surv, s
+    assert len(srv.survivors) >= srv.threshold
+
+
+def test_isolation_impossible_on_complete_graph_rosters():
+    """For n ≤ 16 the pairing graph is complete: isolating a survivor
+    requires dropping everyone else, which the threshold already forbids —
+    the guard can never fire spuriously on small rosters."""
+    ids, srv, sessions = _protocol_parties(4)
+    _run_share_phase(ids, srv, sessions)
+    # normal dropout partition passes the guard
+    out = sessions["c0"].reveal(["c0", "c1", "c2"], ["c3"])
+    assert len(out) == 4
