@@ -16,6 +16,22 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 
+class _ConvParams(nn.Module):
+    """Parameter-only stand-in for an nn.Conv layer: declares the same
+    kernel/bias tree (same names, shapes, initializers) so a fused op can
+    consume the weights while checkpoints/FedAvg/serialization see an
+    identical parameter pytree."""
+
+    shape: tuple
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       self.shape)
+        b = self.param("bias", nn.initializers.zeros, (self.shape[-1],))
+        return k, b
+
+
 class SimpleCNN(nn.Module):
     """``fast_ops=True`` swaps the stem conv and the pools for the
     GEMM-shaped formulations in fl_tpu.ops.fast_layers (same parameter
@@ -57,6 +73,16 @@ class SimpleCNN(nn.Module):
     # in-program. Same forward program; wgrad matches autodiff to float
     # accumulation order (f32 accumulation via preferred_element_type).
     fast_stem_wgrad: bool = True
+    # round-4: the ENTIRE conv segment (conv1→relu→pool→conv2→relu→pool,
+    # fwd AND bwd) as two fused Pallas kernels with automatic 2-client
+    # channel packing under the engine's client vmap
+    # (fl_tpu.ops.conv_block). MEASURED +15% on the segment vs XLA at
+    # bench shapes (44.6 vs 52.5 ms fwd+bwd, docs/performance.md round-4
+    # table) — the first formulation to beat XLA on the conv backward.
+    # Same parameter tree; pool tie-breaking bit-identical. Takes
+    # precedence over the other conv formulation flags. Incompatible with
+    # the ghost-DP activation taps (dp_capture/dp_perturb).
+    fused_conv_block: bool = False
 
     DP_LAYERS = (("conv1", "conv3x3"), ("conv2", "conv3x3"),
                  ("fc1", "dense"), ("fc2", "dense"))
@@ -64,6 +90,28 @@ class SimpleCNN(nn.Module):
     @nn.compact
     def __call__(self, x, *, train: bool = False, dp_perturb=None,
                  dp_capture: bool = False):
+        if self.fused_conv_block and (dp_capture or dp_perturb is not None):
+            raise ValueError(
+                "fused_conv_block replaces the conv segment with one "
+                "opaque Pallas program and cannot expose the ghost-DP "
+                "activation taps (dp_capture/dp_perturb); build the model "
+                "with fused_conv_block=False for dp_sgd ghost mode")
+        if self.fused_conv_block:
+            from fl_tpu.ops.conv_block import conv_stack
+
+            w1, b1 = _ConvParams((3, 3, 1, 32), name="conv1")()
+            w2, b2 = _ConvParams((3, 3, 32, 64), name="conv2")()
+            x = x.astype(self.dtype)
+            x = conv_stack(x, w1.astype(self.dtype), b1.astype(self.dtype),
+                           w2.astype(self.dtype), b2.astype(self.dtype))
+            x = x.reshape((x.shape[0], -1))  # (B, 7*7*64)
+            x = nn.Dense(128, dtype=self.dtype, name="fc1")(x)
+            x = nn.relu(x)
+            x = nn.Dropout(self.dropout_rate,
+                           deterministic=not train)(x)
+            x = nn.Dense(self.num_classes, dtype=self.dtype,
+                         name="fc2")(x)
+            return x.astype(jnp.float32)
         if self.fast_ops:
             from fl_tpu.ops.fast_layers import FastConv3x3, max_pool_2x2
 

@@ -75,30 +75,68 @@ def _geometry(H: int):
 
 def _row_valid_mask(M: int, Bc: int, Hp: int, Wp: int, H: int, W: int):
     """(M, 1) f32 mask of rows (b, h, w) with h<H and w<W (conv-output
-    rows; the rest of the padded plane is wraparound garbage)."""
+    rows; the rest of the padded plane is wraparound garbage). Built
+    multiplicatively — Mosaic's layout inference rejects `and` on (M, 1)
+    i1 vectors in mixed-dtype kernels."""
     r = jax.lax.broadcasted_iota(jnp.int32, (M, 1), 0)
     h = (r // Wp) % Hp
     w = r % Wp
-    return ((h < H) & (w < W)).astype(jnp.float32)
+    hv = jnp.clip(H - h, 0, 1)
+    wv = jnp.clip(W - w, 0, 1)
+    return (hv * wv).astype(jnp.float32)
 
 
-def _patches(patch_ref, src, shifts, ci, M):
-    """patch_ref[:, k*ci:(k+1)*ci] = src[s_k : s_k+M] for each tap; returns
-    the assembled (M, 9*ci) value. src (a VMEM value) carries enough halo
-    that every static slice is in bounds."""
+def _halo(ref, x, front, M):
+    """Write x into the (M+smax, C) halo scratch at row `front`, zeroing
+    the halo rows, and return the scratch value. One narrow copy per use —
+    the round-4 probe measured the patch-materialization alternative
+    (assemble (M, 9C) im2col in VMEM, one K=9C GEMM) at 29.5/83.7 ms vs
+    XLA's 12.1/52.5 for the segment: the 9-wide scratch write+read is pure
+    VPU traffic and dominates; the MXU is nowhere near the bottleneck at
+    these shapes, so tap-accumulated GEMMs from a narrow halo buffer do
+    strictly less data movement."""
+    ref[:] = jnp.zeros_like(ref)
+    ref[front:front + M, :] = x
+    return ref[:]
+
+
+def _conv_taps(src, shifts, w_ref, ci, M, base=0):
+    """Σ_k src[base + s_k : …+M] @ w[k·ci:(k+1)·ci] — implicit-GEMM conv
+    as 9 accumulated MXU calls on shifted slices of the halo buffer."""
+    acc = None
     for k, s in enumerate(shifts):
-        patch_ref[:, k * ci:(k + 1) * ci] = src[s:s + M, :]
-    return patch_ref[:, : 9 * ci]
+        part = jnp.dot(src[base + s:base + s + M, :],
+                       w_ref[k * ci:(k + 1) * ci, :],
+                       preferred_element_type=jnp.float32)
+        acc = part if acc is None else acc + part
+    return acc
+
+
+def _wgrad_taps(src, shifts, dz, ci, M, base=0):
+    """Concatenated per-tap weight gradients: rows k·ci:(k+1)·ci of the
+    result are src[base+s_k : …+M]^T @ dz — K = M on the MXU (well
+    filled; M ≥ 1024 at bench shapes)."""
+    parts = [jax.lax.dot_general(
+        src[base + s:base + s + M, :], dz, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) for s in shifts]
+    return jnp.concatenate(parts, axis=0)
 
 
 def _pool_argmax_first(w00, w01, w10, w11):
-    """Max of a 2×2 window plus first-match one-hot routing masks, in
-    row-major window order — the select-and-scatter tie-break."""
-    m = jnp.maximum(jnp.maximum(w00, w01), jnp.maximum(w10, w11))
-    e00 = w00 == m
-    e01 = (w01 == m) & ~e00
-    e10 = (w10 == m) & ~e00 & ~e01
-    e11 = (w11 == m) & ~e00 & ~e01 & ~e10
+    """Max of a 2×2 window plus first-match one-hot routing masks (f32),
+    in row-major window order — the select-and-scatter tie-break. All
+    compares run in f32 (exact lift of bf16) and the masks are built
+    arithmetically: Mosaic on v5e rejects sub-f32 vector compares and i1
+    logical ops in mixed-dtype kernels."""
+    f32 = jnp.float32
+    a, b, c, d = (w.astype(f32) for w in (w00, w01, w10, w11))
+    m = jnp.maximum(jnp.maximum(a, b), jnp.maximum(c, d))
+    one = jnp.ones((), f32)
+    e00 = jnp.where(a == m, one, 0.0)
+    e01 = jnp.where(b == m, one, 0.0) * (one - e00)
+    e10 = jnp.where(c == m, one, 0.0) * (one - e00) * (one - e01)
+    e11 = (jnp.where(d == m, one, 0.0)
+           * (one - e00) * (one - e01) * (one - e10))
     return m, (e00, e01, e10, e11)
 
 
@@ -137,17 +175,16 @@ def _scatter_pool_cotangent(g, Hp, Wp):
 # ---------------------------------------------------------------------------
 
 def _fwd_kernel(dims, xs_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-                pooled_ref, x2_ref, a2_ref, patch):
+                pooled_ref, xs_halo, x2_halo):
     Bc, H, W, C1, C2, Hp, Wp, shifts, smax = dims
     M = Bc * Hp * Wp
     f32 = jnp.float32
     cdt = xs_ref.dtype
+    S = xs_ref.shape[-1]  # s2d input channels: 4 per packed client
 
     # --- stem: conv1 in s2d form + relu + group-max (= maxpool1) ---------
-    xs = xs_ref[:]                                     # (M, 4), collapsed
-    xsh = jnp.pad(xs, ((0, smax), (0, 0)))
-    p1 = _patches(patch, xsh, shifts, 4, M)            # (M, 36)
-    y1 = jnp.dot(p1, w1_ref[:], preferred_element_type=f32) + b1_ref[:]
+    xsh = _halo(xs_halo, xs_ref[:], 0, M)              # (M+smax, S)
+    y1 = _conv_taps(xsh, shifts, w1_ref, S, M) + b1_ref[:]
     # relu + cast to the compute dtype BEFORE the parity max, matching the
     # standard chain (a1 is a bf16 activation there, pooled in bf16)
     y1 = jnp.maximum(y1, 0.0).astype(cdt)              # (M, 4*C1)
@@ -157,15 +194,12 @@ def _fwd_kernel(dims, xs_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     # zero the wraparound-garbage rows: they feed conv2's SAME padding
     valid = _row_valid_mask(M, Bc, Hp, Wp, H, W)
     x2 = x2 * valid.astype(cdt)                        # (M, C1)
-    x2_ref[:] = x2
 
     # --- conv2 + bias + relu ---------------------------------------------
-    # conv-output row r reads x2 rows r + s_k − (Wp+1); shift the halo
-    x2h = jnp.pad(x2, ((Wp + 1, smax - Wp - 1), (0, 0)))
-    p2 = _patches(patch, x2h, shifts, C1, M)           # (M, 9*C1)
-    y2 = jnp.dot(p2, w2_ref[:], preferred_element_type=f32) + b2_ref[:]
+    # conv-output row r reads x2 rows r + s_k − (Wp+1); halo offset Wp+1
+    x2h = _halo(x2_halo, x2, Wp + 1, M)                # (M+smax', C1)
+    y2 = _conv_taps(x2h, shifts, w2_ref, C1, M) + b2_ref[:]
     a2 = jnp.maximum(y2, 0.0).astype(cdt)              # (M, C2)
-    a2_ref[:] = a2
 
     # --- maxpool2 over the valid H×W region ------------------------------
     # window max lands at the window's base row (even h, even w); compact
@@ -181,8 +215,9 @@ def _fwd_kernel(dims, xs_ref, w1_ref, b1_ref, w2_ref, b2_ref,
 # backward kernel
 # ---------------------------------------------------------------------------
 
-def _bwd_kernel(dims, g_ref, xs_ref, x2_ref, a2_ref, w1_ref, b1_ref,
-                w2f_ref, dw1_ref, db1_ref, dw2_ref, db2_ref, patch):
+def _bwd_kernel(dims, g_ref, xs_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                w2f_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
+                xs_halo, x2_halo, dz_halo):
     Bc, H, W, C1, C2, Hp, Wp, shifts, smax = dims
     M = Bc * Hp * Wp
     f32 = jnp.float32
@@ -198,17 +233,41 @@ def _bwd_kernel(dims, g_ref, xs_ref, x2_ref, a2_ref, w1_ref, b1_ref,
         t = (t + _up(t, 1)) if up1 else (t + _down(t, 1))
         return (t + _up(t, Wp)) if upw else (t + _down(t, Wp))
 
+    # --- RESIDUAL-FREE: recompute the forward chain from the image -------
+    # The backward takes only (g, image, weights): y1/x2/a2 are recomputed
+    # in VMEM (MXU-cheap tap GEMMs) instead of round-tripping ~1.5 GB/step
+    # of activations through HBM. Casts match the forward's exactly, so
+    # the pool/relu masks are bit-identical to the fwd's tie-breaks.
+    S = xs_ref.shape[-1]
+    xsh = _halo(xs_halo, xs_ref[:], 0, M)
+    y1 = _conv_taps(xsh, shifts, w1_ref, S, M) + b1_ref[:]
+    y1 = jnp.maximum(y1, 0.0).astype(cdt)  # same cast point as forward
+    x2 = jnp.maximum(
+        jnp.maximum(y1[:, 0 * C1:1 * C1], y1[:, 1 * C1:2 * C1]),
+        jnp.maximum(y1[:, 2 * C1:3 * C1], y1[:, 3 * C1:4 * C1]))
+    validc = _row_valid_mask(M, Bc, Hp, Wp, H, W).astype(cdt)
+    x2 = x2 * validc                                   # (M, C1)
+    x2h = _halo(x2_halo, x2, Wp + 1, M)                # reused by wgrad
+    y2 = _conv_taps(x2h, shifts, w2_ref, C1, M) + b2_ref[:]
+    a2 = jnp.maximum(y2, 0.0).astype(cdt).astype(f32)  # fwd's exact a2
+
     # --- pool2 backward + relu2 mask (full-plane 2D formulation) ----------
     # g arrives pre-scattered onto the window-base lattice (XLA side).
-    a2 = a2_ref[:]                                     # (M, C2)
-    g_sc = g_ref[:]                                    # (M, C2), base rows
+    # The ENTIRE mask algebra runs in f32: bf16 → f32 is an exact lift, so
+    # equality semantics are unchanged, and it keeps every i1 compare
+    # result in the f32-native (8,128) layout — Mosaic/v5e cannot relayout
+    # an i1 vector into the 16-bit (16,128) tiling a bf16 select needs.
+    g_sc = g_ref[:].astype(f32)                        # (M, C2), base rows
     r = jax.lax.broadcasted_iota(jnp.int32, (M, 1), 0)
-    hpar, wpar = (r // Wp) % 2, r % 2
-    one, zero = jnp.ones((), cdt), jnp.zeros((), cdt)
-    m00 = jnp.where((hpar == 0) & (wpar == 0), one, zero)
-    m01 = jnp.where((hpar == 0) & (wpar == 1), one, zero)
-    m10 = jnp.where((hpar == 1) & (wpar == 0), one, zero)
-    m11 = jnp.where((hpar == 1) & (wpar == 1), one, zero)
+    # parity masks, multiplicatively (no i1 `and` — see _row_valid_mask)
+    hp = ((r // Wp) % 2).astype(f32)
+    wp = (r % 2).astype(f32)
+    one = jnp.ones((), f32)
+    zero = jnp.zeros((), f32)
+    m00 = (one - hp) * (one - wp)
+    m01 = (one - hp) * wp
+    m10 = hp * (one - wp)
+    m11 = hp * wp
     # window max at base rows, then spread to every member row
     m0 = jnp.maximum(a2, _up(a2, 1))
     m1 = jnp.maximum(m0, _up(m0, Wp))
@@ -223,43 +282,37 @@ def _bwd_kernel(dims, g_ref, xs_ref, x2_ref, a2_ref, w1_ref, b1_ref,
     allow = (m00 + m01 * (one - f00)
              + m10 * (one - f00) * (one - f01)
              + m11 * (one - f00) * (one - f01) * (one - f10))
-    valid = _row_valid_mask(M, Bc, Hp, Wp, H, W).astype(cdt)
-    relu = jnp.where(a2 > 0, one, zero)
-    dz2 = g_at * eq * allow * relu * valid             # (M, C2) cdt
-    db2 = jnp.sum(dz2.astype(f32), axis=0, keepdims=True)  # (1, C2)
+    valid = _row_valid_mask(M, Bc, Hp, Wp, H, W)
+    relu = jnp.where(a2 > 0.0, one, zero)
+    dz2 = g_at * eq * allow * relu * valid             # (M, C2) f32
+    db2 = jnp.sum(dz2, axis=0, keepdims=True)          # (1, C2)
 
-    # --- conv2 wgrad: patches(x2)^T @ dz2 ---------------------------------
-    x2 = x2_ref[:]
-    x2h = jnp.pad(x2, ((Wp + 1, smax - Wp - 1), (0, 0)))
-    p2 = _patches(patch, x2h, shifts, C1, M).astype(cdt)
-    dw2 = jax.lax.dot_general(p2, dz2.astype(cdt), (((0,), (0,)), ((), ())),
-                              preferred_element_type=f32)  # (9*C1, C2)
+    # --- conv2 wgrad: per-tap x2ᵀ @ dz2 (K = M on the MXU) ----------------
+    dz2c = dz2.astype(cdt)
+    dw2 = _wgrad_taps(x2h, shifts, dz2c, C1, M)        # (9*C1, C2)
 
-    # --- conv2 dgrad: patches'(dz2) @ w2_flipped --------------------------
-    # dx2[r] = Σ_k dz2[r − s_k + Wp+1]; buffer front-pad smax−(Wp+1)… use
-    # symmetric smax so slice k starts at smax − s_k + (Wp+1) − (Wp+1)
-    dzh = jnp.pad(dz2.astype(cdt), ((smax - Wp - 1, Wp + 1), (0, 0)))
-    gp = _patches(patch, dzh, tuple(smax - Wp - 1 + Wp + 1 - s
-                                    for s in shifts), C2, M)
-    dx2 = jnp.dot(gp, w2f_ref[:], preferred_element_type=f32)  # (M, C1)
+    # --- conv2 dgrad: tap-accumulated dz2 @ w2_flipped --------------------
+    # dx2[r] = Σ_k dz2[r − s_k + Wp+1] @ w2[k]ᵀ; with dz2 at halo offset
+    # smax − (Wp+1), slice k starts at smax − s_k
+    dzh = _halo(dz_halo, dz2c, smax - Wp - 1, M)
+    dx2 = _conv_taps(dzh, tuple(smax - s for s in shifts),
+                     w2f_ref, C2, M)               # (M, C1) f32
     valid = _row_valid_mask(M, Bc, Hp, Wp, H, W)
     dx2 = dx2 * valid                                  # kill wraparound rows
 
-    # --- stem backward: recompute y1, route by group argmax --------------
-    xs = xs_ref[:]
-    xsh = jnp.pad(xs, ((0, smax), (0, 0)))
-    p1 = _patches(patch, xsh, shifts, 4, M).astype(cdt)
-    y1 = jnp.dot(p1, w1_ref[:], preferred_element_type=f32) + b1_ref[:]
-    y1 = jnp.maximum(y1, 0.0).astype(cdt)  # same cast point as forward
+    # --- stem backward: route by group argmax of the recomputed y1 -------
     g0, g1 = y1[:, 0 * C1:1 * C1], y1[:, 1 * C1:2 * C1]
     g2, g3 = y1[:, 2 * C1:3 * C1], y1[:, 3 * C1:4 * C1]
     _, (f0, f1, f2, f3) = _pool_argmax_first(g0, g1, g2, g3)
+
+    def _pos(t):  # relu mask, f32 compare (see _pool_argmax_first)
+        return jnp.where(t.astype(f32) > 0.0, 1.0, 0.0)
+
     dz1 = jnp.concatenate(
-        [dx2 * f0 * (g0 > 0), dx2 * f1 * (g1 > 0),
-         dx2 * f2 * (g2 > 0), dx2 * f3 * (g3 > 0)], axis=1)  # (M, 4*C1) f32
+        [dx2 * f0 * _pos(g0), dx2 * f1 * _pos(g1),
+         dx2 * f2 * _pos(g2), dx2 * f3 * _pos(g3)], axis=1)  # (M, 4*C1) f32
     db1 = jnp.sum(dz1, axis=0, keepdims=True)
-    dw1 = jax.lax.dot_general(p1, dz1.astype(cdt), (((0,), (0,)), ((), ())),
-                              preferred_element_type=f32)  # (36, 4*C1)
+    dw1 = _wgrad_taps(xsh, shifts, dz1.astype(cdt), S, M)  # (9S, 4*C1)
 
     # --- accumulate across batch chunks ----------------------------------
     @pl.when(first)
@@ -281,28 +334,36 @@ def _bwd_kernel(dims, g_ref, xs_ref, x2_ref, a2_ref, w1_ref, b1_ref,
 # host-side drivers (per client; vmap adds the client grid dim)
 # ---------------------------------------------------------------------------
 
-def _pick_bc(B: int, dtype) -> int:
+def _pick_bc(B: int, dtype, bwd: bool = False, pack: int = 1) -> int:
     """Batch-chunk size: VMEM per cell grows ~linearly in Bc (the patch
-    scratch is (Bc·Hp·Wp, 576)); 8 fits comfortably in bf16, 4 in f32."""
-    target = 8 if jnp.dtype(dtype).itemsize <= 2 else 4
+    scratch is (Bc·Hp·Wp, 576)); 8 fits comfortably in bf16 forward. The
+    backward carries ~a dozen live (M, C2) f32 mask/gradient temporaries
+    (exact-compare algebra — see _bwd_kernel) and OOMs VMEM at Bc=8, so
+    it runs half-size chunks (more grid cells = more pipelining, same
+    total work)."""
+    target = (4 if bwd else 8) if jnp.dtype(dtype).itemsize <= 2 else \
+        (2 if bwd else 4)
+    target = max(1, target // pack)  # packed cells carry pack× the lanes
     for bc in (target, 4, 2, 1):
-        if B % bc == 0 and bc <= B:
+        if B % bc == 0 and bc <= target and bc <= B:
             return bc
     return 1
 
 
 def _collapse_s2d(x_img: jax.Array, Hp: int, Wp: int) -> jax.Array:
-    """(B, 2H, 2W, 1) image → collapsed s2d rows (B*Hp*Wp, 4) with the
-    SAME-pad start offset baked in (row (b,hp,wp) = xs2d[hp−1, wp−1])."""
-    B, H2, W2, _ = x_img.shape
+    """(B, 2H, 2W, P) image stack → collapsed s2d rows (B*Hp*Wp, 4P) with
+    the SAME-pad start offset baked in (row (b,hp,wp) = xs2d[hp−1, wp−1]).
+    P > 1 is the client-packed case: channel order is client-outer,
+    pool-parity-inner — matching the packed stem weight rows."""
+    B, H2, W2, P = x_img.shape
     H, W = H2 // 2, W2 // 2
-    xs = x_img.reshape(B, H, 2, W, 2).transpose(0, 1, 3, 2, 4)
-    xs = xs.reshape(B, H, W, 4)
+    xs = x_img.reshape(B, H, 2, W, 2, P).transpose(0, 1, 3, 5, 2, 4)
+    xs = xs.reshape(B, H, W, 4 * P)
     xs = jnp.pad(xs, ((0, 0), (1, Hp - H - 1), (1, Wp - W - 1), (0, 0)))
-    return xs.reshape(B * Hp * Wp, 4)
+    return xs.reshape(B * Hp * Wp, 4 * P)
 
 
-def _fwd_call(x_img, w1s, b1s, w2m, b2m):
+def _fwd_call_impl(x_img, w1s, b1s, w2m, b2m):
     """Per-client fused forward. Returns (pooled (B,Ho,Wo,C2), x2 rows,
     a2 rows)."""
     B = x_img.shape[0]
@@ -312,20 +373,21 @@ def _fwd_call(x_img, w1s, b1s, w2m, b2m):
     C2 = w2m.shape[1]
     Hp, Wp, shifts, smax = _geometry(H)
     cdt = w2m.dtype
-    Bc = _pick_bc(B, cdt)
+    Bc = _pick_bc(B, cdt, pack=x_img.shape[-1])
     nc = B // Bc
     M = Bc * Hp * Wp
     Ho, Wo = H // 2, W // 2
     dims = (Bc, H, W, C1, C2, Hp, Wp, shifts, smax)
 
-    xs = _collapse_s2d(x_img.astype(cdt), Hp, Wp)      # (B*Hp*Wp, 4)
+    xs = _collapse_s2d(x_img.astype(cdt), Hp, Wp)      # (B*Hp*Wp, S)
+    S = xs.shape[-1]
     kern = functools.partial(_fwd_kernel, dims)
-    pooled, x2, a2 = pl.pallas_call(
+    pooled = pl.pallas_call(
         kern,
         grid=(nc,),
         in_specs=[
-            pl.BlockSpec((M, 4), lambda j: (j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((36, 4 * C1), lambda j: (0, 0),
+            pl.BlockSpec((M, S), lambda j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((9 * S, 4 * C1), lambda j: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 4 * C1), lambda j: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -334,28 +396,21 @@ def _fwd_call(x_img, w1s, b1s, w2m, b2m):
             pl.BlockSpec((1, C2), lambda j: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=(
-            pl.BlockSpec((Bc, Ho, Wo, C2), lambda j: (j, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((M, C1), lambda j: (j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((M, C2), lambda j: (j, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((B, Ho, Wo, C2), cdt),
-            jax.ShapeDtypeStruct((B * Hp * Wp, C1), cdt),
-            jax.ShapeDtypeStruct((B * Hp * Wp, C2), cdt),
-        ),
-        scratch_shapes=[pltpu.VMEM((M, max(36, 9 * C1)), cdt)],
+        out_specs=pl.BlockSpec((Bc, Ho, Wo, C2), lambda j: (j, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, Ho, Wo, C2), cdt),
+        scratch_shapes=[pltpu.VMEM((M + smax, S), cdt),
+                        pltpu.VMEM((M + smax, C1), cdt)],
         interpret=_interpret(),
     )(xs, w1s.astype(cdt), b1s.astype(jnp.float32).reshape(1, -1),
       w2m.astype(cdt), b2m.astype(jnp.float32).reshape(1, -1))
-    return pooled, x2, a2
+    return pooled
 
 
-def _bwd_call(g, x_img, x2, a2, w1s, b1s, w2m):
-    """Per-client fused backward. Returns (dw1s (36,4C1), db1s (4C1,),
+def _bwd_call_impl(g, x_img, w1s, b1s, w2m, b2m):
+    """Per-client (or packed-pair) fused backward — RESIDUAL-FREE: takes
+    only (cotangent, image, weights); y1/x2/a2 are recomputed in VMEM
+    (see _bwd_kernel). Returns (dw1s (9S,4C1), db1s (4C1,),
     dw2 (9C1,C2), db2 (C2,)) in f32."""
     B = x_img.shape[0]
     H = x_img.shape[1] // 2
@@ -364,13 +419,14 @@ def _bwd_call(g, x_img, x2, a2, w1s, b1s, w2m):
     C2 = w2m.shape[1]
     Hp, Wp, shifts, smax = _geometry(H)
     cdt = w2m.dtype
-    Bc = _pick_bc(B, cdt)
+    Bc = _pick_bc(B, cdt, bwd=True, pack=x_img.shape[-1])
     nc = B // Bc
     M = Bc * Hp * Wp
     Ho, Wo = H // 2, W // 2
     dims = (Bc, H, W, C1, C2, Hp, Wp, shifts, smax)
 
     xs = _collapse_s2d(x_img.astype(cdt), Hp, Wp)
+    S = xs.shape[-1]
     # dgrad weight: wd[k', co, ci] with flipped taps — dx2[r, ci] =
     # Σ_{k, co} dz2[r − s_k + Wp+1, co] · w2[k, ci, co]; the patch at
     # column block k' holds dz2[r + (Wp+1) − s_{k'}], i.e. tap k' = k,
@@ -384,20 +440,20 @@ def _bwd_call(g, x_img, x2, a2, w1s, b1s, w2m):
         in_specs=[
             pl.BlockSpec((M, C2), lambda j: (j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((M, 4), lambda j: (j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((M, C1), lambda j: (j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((M, C2), lambda j: (j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((36, 4 * C1), lambda j: (0, 0),
+            pl.BlockSpec((M, S), lambda j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((9 * S, 4 * C1), lambda j: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 4 * C1), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9 * C1, C2), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C2), lambda j: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((9 * C2, C1), lambda j: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((36, 4 * C1), lambda j: (0, 0),
+            pl.BlockSpec((9 * S, 4 * C1), lambda j: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 4 * C1), lambda j: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -407,17 +463,110 @@ def _bwd_call(g, x_img, x2, a2, w1s, b1s, w2m):
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((36, 4 * C1), jnp.float32),
+            jax.ShapeDtypeStruct((9 * S, 4 * C1), jnp.float32),
             jax.ShapeDtypeStruct((1, 4 * C1), jnp.float32),
             jax.ShapeDtypeStruct((9 * C1, C2), jnp.float32),
             jax.ShapeDtypeStruct((1, C2), jnp.float32),
         ),
-        scratch_shapes=[pltpu.VMEM((M, 9 * C2), cdt)],
+        scratch_shapes=[pltpu.VMEM((M + smax, S), cdt),
+                        pltpu.VMEM((M + smax, C1), cdt),
+                        pltpu.VMEM((M + smax, C2), cdt)],
         interpret=_interpret(),
-    )(_scatter_pool_cotangent(g.astype(cdt), Hp, Wp), xs, x2, a2,
-      w1s.astype(cdt),
-      b1s.astype(jnp.float32).reshape(1, -1), w2f)
+    )(_scatter_pool_cotangent(g.astype(cdt), Hp, Wp), xs,
+      w1s.astype(cdt), b1s.astype(jnp.float32).reshape(1, -1),
+      w2m.astype(cdt), b2m.astype(jnp.float32).reshape(1, -1), w2f)
     return dw1, db1.reshape(-1), dw2, db2.reshape(-1)
+
+
+# ---------------------------------------------------------------------------
+# pair-packing vmap rules: vmap over clients takes the lane-packed path
+# ---------------------------------------------------------------------------
+#
+# The round-4 probe (scripts/probe_conv_block.py, v5e, C=512 B=32 bf16)
+# measured the per-client kernels LOSING to XLA (26.6/77.2 vs 12.1/52.5 ms
+# for the segment) with the budget dominated by lane-underfilled VPU work,
+# and the 2-client channel-packed kernels WINNING (44.6 vs 52.5 ms
+# fwd+bwd): x2 pairs fill 64 lanes, a2/dz2 pairs fill all 128, halving
+# the vreg count of every mask/pool/copy op, while the convs become
+# block-diagonal pair GEMMs (2x MAC waste on an MXU that is <5% of the
+# budget). These custom_vmap rules make plain `jax.vmap(conv_stack)` over
+# an even client axis take that packed path automatically — the engine's
+# superstep needs no pairing logic. The backward being RESIDUAL-FREE is
+# what makes this exact: fwd and bwd calls pair independently, so no
+# packed activation ever crosses the call boundary (and ~1.5 GB/step of
+# x2/a2 HBM round-trips disappear outright).
+
+from jax.custom_batching import custom_vmap  # noqa: E402
+
+
+def _bcast_unbatched(axis_size, in_batched, args):
+    return tuple(
+        a if b else jnp.broadcast_to(a, (axis_size,) + a.shape)
+        for a, b in zip(args, in_batched))
+
+
+def _pair_lifted(x_img, w1s, b1s, w2m, b2m):
+    """Pair consecutive clients of lifted per-client args into the
+    channel-packed forms (client-inner on rows/channels, group-outer on
+    stem columns — the layout the kernels' slices assume)."""
+    C = x_img.shape[0]
+    n = C // 2
+    C1 = w1s.shape[-1] // 4
+    C2 = w2m.shape[-1]
+    eye = jnp.eye(2, dtype=w1s.dtype)
+    xp = jnp.moveaxis(
+        x_img.reshape((n, 2) + x_img.shape[1:])[..., 0], 1, -1)
+    t1 = w1s.reshape(n, 2, 9, 4, 4, C1)
+    w1p = jnp.einsum("npkigo,pq->nkpigqo", t1, eye).reshape(n, 72, 8 * C1)
+    b1p = b1s.reshape(n, 2, 4, C1).transpose(0, 2, 1, 3).reshape(n, 8 * C1)
+    t2 = w2m.reshape(n, 2, 9, C1, C2)
+    w2p = jnp.einsum("npkio,pq->nkpiqo", t2, eye)         .reshape(n, 18 * C1, 2 * C2)
+    b2p = b2m.reshape(n, 2 * C2)
+    return xp, w1p, b1p, w2p, b2p, n, C1, C2
+
+
+_fwd_call = custom_vmap(_fwd_call_impl)
+
+
+@_fwd_call.def_vmap
+def _fwd_vmap_rule(axis_size, in_batched, x_img, w1s, b1s, w2m, b2m):
+    x_img, w1s, b1s, w2m, b2m = _bcast_unbatched(
+        axis_size, in_batched, (x_img, w1s, b1s, w2m, b2m))
+    if axis_size % 2 or x_img.shape[-1] != 1:
+        return jax.vmap(_fwd_call_impl)(x_img, w1s, b1s, w2m, b2m), True
+    xp, w1p, b1p, w2p, b2p, n, C1, C2 = _pair_lifted(
+        x_img, w1s, b1s, w2m, b2m)
+    pooled = jax.vmap(_fwd_call_impl)(xp, w1p, b1p, w2p, b2p)
+    B, Ho, Wo = pooled.shape[1:4]
+    out = pooled.reshape(n, B, Ho, Wo, 2, C2)
+    out = jnp.moveaxis(out, 4, 1).reshape(axis_size, B, Ho, Wo, C2)
+    return out, True
+
+
+_bwd_call = custom_vmap(_bwd_call_impl)
+
+
+@_bwd_call.def_vmap
+def _bwd_vmap_rule(axis_size, in_batched, g, x_img, w1s, b1s, w2m, b2m):
+    g, x_img, w1s, b1s, w2m, b2m = _bcast_unbatched(
+        axis_size, in_batched, (g, x_img, w1s, b1s, w2m, b2m))
+    if axis_size % 2 or x_img.shape[-1] != 1:
+        outs = jax.vmap(_bwd_call_impl)(g, x_img, w1s, b1s, w2m, b2m)
+        return outs, (True, True, True, True)
+    xp, w1p, b1p, w2p, b2p, n, C1, C2 = _pair_lifted(
+        x_img, w1s, b1s, w2m, b2m)
+    B, Ho, Wo = g.shape[1:4]
+    gp = jnp.moveaxis(g.reshape(n, 2, B, Ho, Wo, C2), 1, 4)         .reshape(n, B, Ho, Wo, 2 * C2)
+    dw1p, db1p, dw2p, db2p = jax.vmap(_bwd_call_impl)(
+        gp, xp, w1p, b1p, w2p, b2p)
+    eye = jnp.eye(2, dtype=dw1p.dtype)
+    dw1 = jnp.einsum("nkpigqo,pq->npkigo",
+                     dw1p.reshape(n, 9, 2, 4, 4, 2, C1), eye)         .reshape(axis_size, 36, 4 * C1)
+    db1 = db1p.reshape(n, 4, 2, C1).transpose(0, 2, 1, 3)         .reshape(axis_size, 4 * C1)
+    dw2 = jnp.einsum("nkpiqo,pq->npkio",
+                     dw2p.reshape(n, 9, 2, C1, 2, C2), eye)         .reshape(axis_size, 9 * C1, C2)
+    db2 = db2p.reshape(axis_size, C2)
+    return (dw1, db1, dw2, db2), (True, True, True, True)
 
 
 # ---------------------------------------------------------------------------
@@ -479,23 +628,24 @@ def conv_stack(x_img: jax.Array, w1: jax.Array, b1: jax.Array,
     x_img (B, 2H, 2W, 1), w1 (3,3,1,C1), w2 (3,3,C1,C2) → (B, H/2, W/2, C2).
     The VJP returns zero image gradient (the FL trainers never use it)."""
     w1s, b1s = lift_stem(w1, b1)
-    pooled, _, _ = _fwd_call(x_img, w1s, b1s,
-                             w2.reshape(-1, w2.shape[-1]), b2)
+    pooled = _fwd_call(x_img, w1s, b1s,
+                       w2.reshape(-1, w2.shape[-1]), b2)
     return pooled
 
 
 def _stack_fwd(x_img, w1, b1, w2, b2):
     w1s, b1s = lift_stem(w1, b1)
     w2m = w2.reshape(-1, w2.shape[-1])
-    pooled, x2, a2 = _fwd_call(x_img, w1s, b1s, w2m, b2)
-    return pooled, (x_img, x2, a2, w1s, b1s, w2m)
+    pooled = _fwd_call(x_img, w1s, b1s, w2m, b2)
+    # residual-free: the backward recomputes y1/x2/a2 from the image
+    return pooled, (x_img, w1s, b1s, w2m, b2)
 
 
 def _stack_bwd(res, g):
-    x_img, x2, a2, w1s, b1s, w2m = res
+    x_img, w1s, b1s, w2m, b2 = res
     C1 = w1s.shape[1] // 4
     C2 = w2m.shape[1]
-    dw1s, db1s, dw2m, db2 = _bwd_call(g, x_img, x2, a2, w1s, b1s, w2m)
+    dw1s, db1s, dw2m, db2 = _bwd_call(g, x_img, w1s, b1s, w2m, b2)
     dw1, db1 = unlift_stem_grads(dw1s, db1s, C1)
     dw2 = dw2m.reshape(3, 3, C1, C2)
     return (jnp.zeros_like(x_img), dw1.astype(jnp.float32),
@@ -504,3 +654,118 @@ def _stack_bwd(res, g):
 
 
 conv_stack.defvjp(_stack_fwd, _stack_bwd)
+
+
+# ---------------------------------------------------------------------------
+# client-packed variant: P clients' channel planes share the lane dimension
+# ---------------------------------------------------------------------------
+#
+# Why: the round-4 probes measured BOTH per-client kernel formulations
+# losing to XLA (module docstring table) with the budget dominated by
+# lane-underfilled VPU work — every (rows, 32/64-channel) vector op uses
+# a quarter/half of the 128 lanes. Packing P=2 clients client-outer on
+# the channel axis makes x2 (M, 64) → (M, 128)-shaped per PAIR of
+# clients, halving the vreg count of every elementwise/mask/pool op,
+# while the convs become block-diagonal pair GEMMs on the MXU (2× MAC
+# waste — irrelevant, the MXU is <5% of the budget here). The kernels
+# above are reused verbatim: they are fully shape-parameterized, and the
+# packed weight lifts order columns GROUP-OUTER, CLIENT-INNER so the
+# in-kernel 4-way parity max and pool routing slices stay correct.
+
+def _eye_pack(t: jax.Array, P: int) -> jax.Array:
+    """Block-diagonalize a per-client (P, 9, ci, co) tap stack into
+    (9·P·ci, P·co): rows (k, c, i), cols (q, o), zero off the c==q
+    diagonal."""
+    _, _, ci, co = t.shape
+    packed = jnp.einsum("pkio,pq->kpiqo", t, jnp.eye(P, dtype=t.dtype))
+    return packed.reshape(9 * P * ci, P * co)
+
+
+def _eye_unpack(g: jax.Array, P: int, ci: int, co: int) -> jax.Array:
+    """Adjoint of _eye_pack: extract the diagonal blocks of a packed
+    (9·P·ci, P·co) gradient → (P, 9, ci, co). Off-diagonal blocks are
+    cross-client wgrad garbage (computed but never used)."""
+    g6 = g.reshape(9, P, ci, P, co)
+    return jnp.einsum("kpiqo,pq->pkio", g6, jnp.eye(P, dtype=g.dtype))
+
+
+def pack_stem(w1: jax.Array, b1: jax.Array):
+    """(P,3,3,1,C1) stem weights + (P,C1) biases → packed s2d GEMM form
+    (9·4P, 4·P·C1) / (4·P·C1,), group-outer client-inner columns."""
+    P, _, _, _, C1 = w1.shape
+    L = jnp.asarray(_s2d_lift_matrix(C1))
+    lifted = (w1.reshape(P, 1, 9 * C1) @ L).reshape(P, 36, 4 * C1)
+    # rows (k, i): i is the s2d input channel; cols (g, o)
+    t = lifted.reshape(P, 9, 4, 4, C1)
+    # block-diag with cols reordered group-outer: (k, c, i, g, q, o)
+    packed = jnp.einsum("pkigo,pq->kpigqo", t, jnp.eye(P, dtype=w1.dtype))
+    w1s_p = packed.reshape(9 * 4 * P, 4 * P * C1)
+    b1s_p = jnp.tile(b1.reshape(P * C1), 4)
+    return w1s_p, b1s_p
+
+
+def unpack_stem_grads(dw1s_p: jax.Array, db1s_p: jax.Array, P: int,
+                      C1: int):
+    """Adjoint of pack_stem → ((P,3,3,1,C1), (P,C1))."""
+    g6 = dw1s_p.reshape(9, P, 4, 4, P, C1)
+    per = jnp.einsum("kpigqo,pq->pkigo", g6, jnp.eye(P, dtype=dw1s_p.dtype))
+    per = per.reshape(P, 36 * 4 * C1)
+    L = jnp.asarray(_s2d_lift_matrix(C1))
+    dw1 = (per @ L.T).reshape(P, 3, 3, 1, C1)
+    db1 = db1s_p.reshape(4, P, C1).sum(0)
+    return dw1, db1
+
+
+def pack_conv2(w2: jax.Array):
+    """(P,3,3,C1,C2) → block-diag (9·P·C1, P·C2)."""
+    P, _, _, C1, C2 = w2.shape
+    return _eye_pack(w2.reshape(P, 9, C1, C2), P)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def conv_stack_packed(x_imgs: jax.Array, w1: jax.Array, b1: jax.Array,
+                      w2: jax.Array, b2: jax.Array) -> jax.Array:
+    """conv_stack for P clients at once, channel-packed on the lanes.
+
+    x_imgs (P, B, 2H, 2W, 1), w1 (P,3,3,1,C1), b1 (P,C1),
+    w2 (P,3,3,C1,C2), b2 (P,C2) → (P, B, H/2, W/2, C2). Bit-identical
+    semantics to vmap(conv_stack) (tests/test_conv_block.py); the VJP
+    returns zero image gradient like conv_stack."""
+    out, _ = _packed_fwd(x_imgs, w1, b1, w2, b2)
+    return out
+
+
+def _packed_fwd(x_imgs, w1, b1, w2, b2):
+    P, B = x_imgs.shape[0], x_imgs.shape[1]
+    C1, C2 = w1.shape[-1], w2.shape[-1]
+    x_pack = jnp.moveaxis(x_imgs[..., 0], 0, -1)       # (B, 2H, 2W, P)
+    w1s_p, b1s_p = pack_stem(w1, b1)
+    w2m_p = pack_conv2(w2)
+    b2_p = b2.reshape(P * C2)
+    pooled = _fwd_call_impl(x_pack, w1s_p, b1s_p, w2m_p, b2_p)
+    Ho, Wo = pooled.shape[1], pooled.shape[2]
+    out = jnp.moveaxis(pooled.reshape(B, Ho, Wo, P, C2), 3, 0)
+    return out, (x_pack, w1s_p, b1s_p, w2m_p, b2_p, P, C1, C2)
+
+
+def _packed_bwd(res, g):
+    x_pack, w1s_p, b1s_p, w2m_p, b2_p, P, C1, C2 = res
+    B = x_pack.shape[0]
+    Ho, Wo = g.shape[2], g.shape[3]
+    g_pack = jnp.moveaxis(g, 0, 3).reshape(B, Ho, Wo, P * C2)
+    dw1s_p, db1s_p, dw2_p, db2_p = _bwd_call_impl(
+        g_pack, x_pack, w1s_p, b1s_p, w2m_p, b2_p)
+    dw1, db1 = unpack_stem_grads(dw1s_p, db1s_p, P, C1)
+    dw2 = _eye_unpack(dw2_p, P, C1, C2).reshape(P, 3, 3, C1, C2)
+    db2 = db2_p.reshape(P, C2)
+    dx = jnp.zeros((P, B) + x_pack.shape[1:3] + (1,), x_pack.dtype)
+    return (dx, dw1.astype(jnp.float32), db1.astype(jnp.float32),
+            dw2.astype(jnp.float32), db2.astype(jnp.float32))
+
+
+def _packed_fwd_vjp(x_imgs, w1, b1, w2, b2):
+    out, res = _packed_fwd(x_imgs, w1, b1, w2, b2)
+    return out, res
+
+
+conv_stack_packed.defvjp(_packed_fwd_vjp, _packed_bwd)

@@ -60,13 +60,34 @@ def main():
             return jnp.sum((out * r).astype(jnp.float32))
         return loss
 
-    for name, stack in (("xla ", ref_stack), ("plas", conv_stack)):
+    variants = []
+    if os.environ.get("PROBE_SKIP_BASE") != "1":
+        variants += [("xla ", ref_stack), ("plas", conv_stack)]
+    for name, stack in variants:
         fn = jax.jit(loss_of(stack))
         ms, cs = timeit(fn, x, w1, b1, w2, b2)
         log(f"{name} fwd-only      : {ms:8.2f} ms (compile {cs:.0f}s)")
         gfn = jax.jit(jax.grad(loss_of(stack), argnums=(1, 2, 3, 4)))
         ms, cs = timeit(gfn, x, w1, b1, w2, b2)
         log(f"{name} fwd+wgrads    : {ms:8.2f} ms (compile {cs:.0f}s)")
+
+    # client-packed variant: vmap over pairs, P=2 packed on the lanes
+    from fl_tpu.ops.conv_block import conv_stack_packed
+
+    P = 2
+    pair = lambda t: t.reshape((C // P, P) + t.shape[1:])  # noqa: E731
+    xp, w1p, b1p, w2p, b2p, rp = map(pair, (x, w1, b1, w2, b2, r))
+
+    def loss_packed(xx, p1, q1, p2, q2):
+        out = jax.vmap(conv_stack_packed)(xx, p1, q1, p2, q2)
+        return jnp.sum((out * rp).astype(jnp.float32))
+
+    fn = jax.jit(loss_packed)
+    ms, cs = timeit(fn, xp, w1p, b1p, w2p, b2p)
+    log(f"pack fwd-only      : {ms:8.2f} ms (compile {cs:.0f}s)")
+    gfn = jax.jit(jax.grad(loss_packed, argnums=(1, 2, 3, 4)))
+    ms, cs = timeit(gfn, xp, w1p, b1p, w2p, b2p)
+    log(f"pack fwd+wgrads    : {ms:8.2f} ms (compile {cs:.0f}s)")
 
 
 if __name__ == "__main__":
