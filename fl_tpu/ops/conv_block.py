@@ -100,6 +100,37 @@ def _halo(ref, x, front, M):
     return ref[:]
 
 
+def _upsample2x2(g8, Bc, Hp, Wp):
+    """(Bc·(Hp/2)·(Wp/2), C) compact pool cotangent → (Bc·Hp·Wp, C) with
+    every output row (b, h, w) holding g[b, h//2, w//2] — two
+    duplicate-concat reshapes (rank-3, C-minor: the shape-op class
+    Mosaic's layout inference accepts). Replaces reading a 4x-zeros
+    scattered plane from HBM plus three shift-adds in VMEM."""
+    n, C = g8.shape
+    t = g8.reshape(n, 1, C)
+    t = jnp.concatenate([t, t], axis=1).reshape(2 * n, C)    # w-dup
+    t = t.reshape(Bc * (Hp // 2), Wp, C)
+    t = jnp.concatenate([t, t], axis=1)                      # h-dup
+    return t.reshape(Bc * Hp * Wp, C)
+
+
+def _xs_to_halo(ref, xs, Bc, H, Wp):
+    """Place compact s2d rows (Bc·H·H, S) onto the padded lattice inside
+    the halo scratch, SAME-conv offset baked (data lands at (h+1, w+1) of
+    each Wp×Wp image block): a middle-dim w-pad plus Bc static per-image
+    copies (aligned: Wp + b·Wp² ≡ 0 mod 8). Replaces an XLA-side pad +
+    relayout copy (~3 ms/step at bench shapes, round-4 profile)."""
+    S = xs.shape[-1]
+    m_img = Wp * Wp
+    t = xs.reshape(Bc * H, H, S)
+    t = jnp.pad(t, ((0, 0), (1, Wp - H - 1), (0, 0)))
+    t = t.reshape(Bc, H * Wp, S)
+    ref[:] = jnp.zeros_like(ref)
+    for b in range(Bc):
+        ref[Wp + b * m_img: Wp + b * m_img + H * Wp, :] = t[b]
+    return ref[:]
+
+
 def _conv_taps(src, shifts, w_ref, ci, M, base=0):
     """Σ_k src[base + s_k : …+M] @ w[k·ci:(k+1)·ci] — implicit-GEMM conv
     as 9 accumulated MXU calls on shifted slices of the halo buffer."""
@@ -158,16 +189,15 @@ def _compact(x, dims, ph, pw):
     return t.reshape(Bc, Hp // 2, Wp // 2, C)
 
 
-def _scatter_pool_cotangent(g, Hp, Wp):
-    """XLA-side: place g (B, Ho, Wo, C) at the window-base rows (2i, 2j)
-    of a zero (B*Hp*Wp, C) flat plane — rank-changing interleaves live
-    OUTSIDE the kernel (Mosaic's layout inference rejects them)."""
+def _compact_pool_cotangent(g, Hp, Wp):
+    """XLA-side: pad g (B, Ho, Wo, C) to the even (B, Hp/2, Wp/2, C) grid
+    and flatten — the kernel upsamples it to the full lattice in VMEM
+    (see _bwd_kernel), so the 4x-zeros scattered plane never exists in
+    HBM (round-4 profile: the scatter pad + its relayout copy cost
+    ~2.5 ms/step at bench shapes)."""
     B, Ho, Wo, C = g.shape
-    gz = g[:, :, None, :, None, :]
-    gz = jnp.pad(gz, ((0, 0), (0, 0), (0, 1), (0, 0), (0, 1), (0, 0)))
-    gz = gz.reshape(B, 2 * Ho, 2 * Wo, C)
-    gz = jnp.pad(gz, ((0, 0), (0, Hp - 2 * Ho), (0, Wp - 2 * Wo), (0, 0)))
-    return gz.reshape(B * Hp * Wp, C)
+    gz = jnp.pad(g, ((0, 0), (0, Hp // 2 - Ho), (0, Wp // 2 - Wo), (0, 0)))
+    return gz.reshape(B * (Hp // 2) * (Wp // 2), C)
 
 
 # ---------------------------------------------------------------------------
@@ -183,7 +213,7 @@ def _fwd_kernel(dims, xs_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     S = xs_ref.shape[-1]  # s2d input channels: 4 per packed client
 
     # --- stem: conv1 in s2d form + relu + group-max (= maxpool1) ---------
-    xsh = _halo(xs_halo, xs_ref[:], 0, M)              # (M+smax, S)
+    xsh = _xs_to_halo(xs_halo, xs_ref[:], Bc, H, Wp)   # (M+smax, S)
     y1 = _conv_taps(xsh, shifts, w1_ref, S, M) + b1_ref[:]
     # relu + cast to the compute dtype BEFORE the parity max, matching the
     # standard chain (a1 is a bf16 activation there, pooled in bf16)
@@ -239,7 +269,7 @@ def _bwd_kernel(dims, g_ref, xs_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     # of activations through HBM. Casts match the forward's exactly, so
     # the pool/relu masks are bit-identical to the fwd's tie-breaks.
     S = xs_ref.shape[-1]
-    xsh = _halo(xs_halo, xs_ref[:], 0, M)
+    xsh = _xs_to_halo(xs_halo, xs_ref[:], Bc, H, Wp)
     y1 = _conv_taps(xsh, shifts, w1_ref, S, M) + b1_ref[:]
     y1 = jnp.maximum(y1, 0.0).astype(cdt)  # same cast point as forward
     x2 = jnp.maximum(
@@ -250,14 +280,14 @@ def _bwd_kernel(dims, g_ref, xs_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     x2h = _halo(x2_halo, x2, Wp + 1, M)                # reused by wgrad
     y2 = _conv_taps(x2h, shifts, w2_ref, C1, M) + b2_ref[:]
     a2 = jnp.maximum(y2, 0.0).astype(cdt).astype(f32)  # fwd's exact a2
+    # g arrives COMPACT (Bc·Hp/2·Wp/2 rows); upsample to the full lattice
+    g_at = _upsample2x2(g_ref[:].astype(f32), Bc, Hp, Wp)
 
     # --- pool2 backward + relu2 mask (full-plane 2D formulation) ----------
-    # g arrives pre-scattered onto the window-base lattice (XLA side).
     # The ENTIRE mask algebra runs in f32: bf16 → f32 is an exact lift, so
     # equality semantics are unchanged, and it keeps every i1 compare
     # result in the f32-native (8,128) layout — Mosaic/v5e cannot relayout
     # an i1 vector into the 16-bit (16,128) tiling a bf16 select needs.
-    g_sc = g_ref[:].astype(f32)                        # (M, C2), base rows
     r = jax.lax.broadcasted_iota(jnp.int32, (M, 1), 0)
     # parity masks, multiplicatively (no i1 `and` — see _row_valid_mask)
     hp = ((r // Wp) % 2).astype(f32)
@@ -272,7 +302,6 @@ def _bwd_kernel(dims, g_ref, xs_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     m0 = jnp.maximum(a2, _up(a2, 1))
     m1 = jnp.maximum(m0, _up(m0, Wp))
     m_at = _spread(m1 * m00)
-    g_at = _spread(g_sc)
     # first-match tie-break: a row takes the gradient iff it equals the
     # window max and no earlier row (row-major window order) does
     eq = jnp.where(a2 == m_at, one, zero)
@@ -341,26 +370,33 @@ def _pick_bc(B: int, dtype, bwd: bool = False, pack: int = 1) -> int:
     (exact-compare algebra — see _bwd_kernel) and OOMs VMEM at Bc=8, so
     it runs half-size chunks (more grid cells = more pipelining, same
     total work)."""
+    import os as _os
+
+    # probed on v5e at bench shapes (pack=2, bf16): fwd 8 / bwd 4 beat the
+    # halved-chunk variants (16.68/15.6 vs 17.0/16.6 ms) and fit VMEM now
+    # that the backward is residual-free with narrow halo scratches; f32
+    # compute halves the targets (doubled temp widths).
     target = (4 if bwd else 8) if jnp.dtype(dtype).itemsize <= 2 else \
         (2 if bwd else 4)
-    target = max(1, target // pack)  # packed cells carry pack× the lanes
+    ov = _os.environ.get("CONV_BLOCK_BC_BWD" if bwd else "CONV_BLOCK_BC_FWD")
+    if ov:
+        target = int(ov)
     for bc in (target, 4, 2, 1):
         if B % bc == 0 and bc <= target and bc <= B:
             return bc
     return 1
 
 
-def _collapse_s2d(x_img: jax.Array, Hp: int, Wp: int) -> jax.Array:
-    """(B, 2H, 2W, P) image stack → collapsed s2d rows (B*Hp*Wp, 4P) with
-    the SAME-pad start offset baked in (row (b,hp,wp) = xs2d[hp−1, wp−1]).
-    P > 1 is the client-packed case: channel order is client-outer,
-    pool-parity-inner — matching the packed stem weight rows."""
+def _collapse_s2d(x_img: jax.Array) -> jax.Array:
+    """(B, 2H, 2W, P) image stack → COMPACT s2d rows (B*H*W, 4P); the
+    kernels place them onto the padded lattice in VMEM (_xs_to_halo), so
+    no XLA-side pad/relayout of the plane exists. P > 1 is the
+    client-packed case: channel order is client-outer, pool-parity-inner
+    — matching the packed stem weight rows."""
     B, H2, W2, P = x_img.shape
     H, W = H2 // 2, W2 // 2
     xs = x_img.reshape(B, H, 2, W, 2, P).transpose(0, 1, 3, 5, 2, 4)
-    xs = xs.reshape(B, H, W, 4 * P)
-    xs = jnp.pad(xs, ((0, 0), (1, Hp - H - 1), (1, Wp - W - 1), (0, 0)))
-    return xs.reshape(B * Hp * Wp, 4 * P)
+    return xs.reshape(B * H * W, 4 * P)
 
 
 def _fwd_call_impl(x_img, w1s, b1s, w2m, b2m):
@@ -379,14 +415,15 @@ def _fwd_call_impl(x_img, w1s, b1s, w2m, b2m):
     Ho, Wo = H // 2, W // 2
     dims = (Bc, H, W, C1, C2, Hp, Wp, shifts, smax)
 
-    xs = _collapse_s2d(x_img.astype(cdt), Hp, Wp)      # (B*Hp*Wp, S)
+    xs = _collapse_s2d(x_img.astype(cdt))              # (B*H*W, S)
     S = xs.shape[-1]
     kern = functools.partial(_fwd_kernel, dims)
     pooled = pl.pallas_call(
         kern,
         grid=(nc,),
         in_specs=[
-            pl.BlockSpec((M, S), lambda j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bc * H * W, S), lambda j: (j, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((9 * S, 4 * C1), lambda j: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 4 * C1), lambda j: (0, 0),
@@ -425,7 +462,7 @@ def _bwd_call_impl(g, x_img, w1s, b1s, w2m, b2m):
     Ho, Wo = H // 2, W // 2
     dims = (Bc, H, W, C1, C2, Hp, Wp, shifts, smax)
 
-    xs = _collapse_s2d(x_img.astype(cdt), Hp, Wp)
+    xs = _collapse_s2d(x_img.astype(cdt))
     S = xs.shape[-1]
     # dgrad weight: wd[k', co, ci] with flipped taps — dx2[r, ci] =
     # Σ_{k, co} dz2[r − s_k + Wp+1, co] · w2[k, ci, co]; the patch at
@@ -438,9 +475,10 @@ def _bwd_call_impl(g, x_img, w1s, b1s, w2m, b2m):
         kern,
         grid=(nc,),
         in_specs=[
-            pl.BlockSpec((M, C2), lambda j: (j, 0),
+            pl.BlockSpec((Bc * (Hp // 2) * (Wp // 2), C2), lambda j: (j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((M, S), lambda j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bc * H * W, S), lambda j: (j, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((9 * S, 4 * C1), lambda j: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 4 * C1), lambda j: (0, 0),
@@ -472,7 +510,7 @@ def _bwd_call_impl(g, x_img, w1s, b1s, w2m, b2m):
                         pltpu.VMEM((M + smax, C1), cdt),
                         pltpu.VMEM((M + smax, C2), cdt)],
         interpret=_interpret(),
-    )(_scatter_pool_cotangent(g.astype(cdt), Hp, Wp), xs,
+    )(_compact_pool_cotangent(g.astype(cdt), Hp, Wp), xs,
       w1s.astype(cdt), b1s.astype(jnp.float32).reshape(1, -1),
       w2m.astype(cdt), b2m.astype(jnp.float32).reshape(1, -1), w2f)
     return dw1, db1.reshape(-1), dw2, db2.reshape(-1)
@@ -513,14 +551,19 @@ def _pair_lifted(x_img, w1s, b1s, w2m, b2m):
     n = C // 2
     C1 = w1s.shape[-1] // 4
     C2 = w2m.shape[-1]
-    eye = jnp.eye(2, dtype=w1s.dtype)
     xp = jnp.moveaxis(
         x_img.reshape((n, 2) + x_img.shape[1:])[..., 0], 1, -1)
     t1 = w1s.reshape(n, 2, 9, 4, 4, C1)
-    w1p = jnp.einsum("npkigo,pq->nkpigqo", t1, eye).reshape(n, 72, 8 * C1)
+    w1p = jnp.einsum("npkigo,pq->nkpigqo", t1,
+                     jnp.eye(2, dtype=w1s.dtype)).reshape(n, 72, 8 * C1)
     b1p = b1s.reshape(n, 2, 4, C1).transpose(0, 2, 1, 3).reshape(n, 8 * C1)
+    # NB: the pack must preserve w2m's dtype exactly — the kernels take
+    # their compute dtype from it (an f32 eye here silently promoted the
+    # whole segment to f32 and broke the bf16 model's fc1 dtype chain)
     t2 = w2m.reshape(n, 2, 9, C1, C2)
-    w2p = jnp.einsum("npkio,pq->nkpiqo", t2, eye)         .reshape(n, 18 * C1, 2 * C2)
+    w2p = jnp.einsum("npkio,pq->nkpiqo", t2,
+                     jnp.eye(2, dtype=w2m.dtype)) \
+        .reshape(n, 18 * C1, 2 * C2)
     b2p = b2m.reshape(n, 2 * C2)
     return xp, w1p, b1p, w2p, b2p, n, C1, C2
 

@@ -46,7 +46,10 @@ def main():
     splits = load_dataset("mnist", n_train_synth=512 * 64, n_test_synth=1024)
     arrays = make_federated_arrays(splits, num_clients=512, strategy="iid",
                                    samples_per_client=64, seed=0)
-    model = create_model("simple_cnn", dtype=jnp.bfloat16)
+    import json as _json
+
+    extra = _json.loads(os.environ.get("BENCH_MODEL_KWARGS", "{}"))
+    model = create_model("simple_cnn", dtype=jnp.bfloat16, **extra)
     cfg = RoundEngineConfig(
         training=FederatedTrainingConfig(local_epochs=5, batch_size=32,
                                          learning_rate=0.001,
