@@ -80,13 +80,20 @@ class ClientCapabilities:
 
 @dataclass
 class TrainingMetrics:
-    """Per-client local-training metrics. ref: src/shared/models.py:90-97."""
+    """Per-client local-training metrics. ref: src/shared/models.py:90-97.
+
+    ``additional_metrics`` maps onto the proto's open-ended
+    ``map<string, double>`` field (proto/federated_learning.proto:151) —
+    the carrier for extension signals that must not change the interop
+    contract, e.g. the DP-noised clipped-count indicator of wire
+    adaptive clipping (``adaptive_clip_indicator``)."""
 
     loss: float
     accuracy: float
     epochs_completed: int
     training_time: float
     samples_processed: int
+    additional_metrics: Dict[str, float] = field(default_factory=dict)
 
 
 @dataclass

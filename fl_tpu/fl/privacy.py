@@ -109,6 +109,33 @@ def clip_and_noise_tree(
     return jax.tree.unflatten(treedef, noisy), sens, sigma
 
 
+def clip_and_noise_tree_at_sigma(
+    tree: Any,
+    key: jax.Array,
+    max_norm: float,
+    sigma: float,
+) -> Tuple[Any, jax.Array]:
+    """Clip a delta pytree to global L2 ≤ ``max_norm`` and add i.i.d.
+    N(0, σ²) with an EXPLICIT σ (the caller owns the accounting).
+
+    Used by wire adaptive clipping (Andrew et al. 2021): the joint
+    release of (delta at σ = z_Δ·C, indicator at σ_b) is one Gaussian
+    mechanism at the user-level multiplier z, so the delta must be noised
+    at the *inflated* z_Δ from ``adaptive_clip_delta_multiplier`` rather
+    than at the plain Gaussian-mechanism σ of ``clip_and_noise_tree``.
+    Returns (noisy_tree, pre-clip norm)."""
+    pre_norm = pt.global_norm(tree)
+    clipped, _ = pt.clip_by_global_norm(tree, max_norm)
+    leaves, treedef = jax.tree.flatten(clipped)
+    keys = jax.random.split(key, len(leaves))
+    noisy = [
+        leaf + sigma * jax.random.normal(k, leaf.shape, jnp.float32
+                                         ).astype(leaf.dtype)
+        for leaf, k in zip(leaves, keys)
+    ]
+    return jax.tree.unflatten(treedef, noisy), pre_norm
+
+
 def dp_noise_client_deltas(
     stacked_deltas: Any,
     round_keys: jax.Array,

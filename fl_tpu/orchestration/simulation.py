@@ -89,6 +89,15 @@ class SimulationConfig:
     # shared plan.
     distributed_dp: bool = False
     ddp_bits: int = 14
+    # wire adaptive clipping over the grpc backend (Andrew et al. 2021;
+    # services/grpc_server.py + federated_trainer.py): the coordinator
+    # steers privacy_config.max_grad_norm toward the clip_target_quantile
+    # of client delta norms from locally-DP-noised indicators. Plain
+    # (non-secagg, non-ddp) DP path only.
+    adaptive_clipping: bool = False
+    clip_target_quantile: float = 0.5
+    clip_learning_rate: float = 0.2
+    clip_count_stddev: float = 0.5
     n_train_synth: int = 20_000
     n_test_synth: int = 4_000
     samples_per_client: Optional[int] = None
@@ -270,6 +279,10 @@ class FederatedLearningSimulation:
             secure_aggregation=cfg.secure_aggregation,
             distributed_dp=cfg.distributed_dp,
             ddp_bits=cfg.ddp_bits,
+            adaptive_clipping=cfg.adaptive_clipping,
+            clip_target_quantile=cfg.clip_target_quantile,
+            clip_learning_rate=cfg.clip_learning_rate,
+            clip_count_stddev=cfg.clip_count_stddev,
             # cooperative local clients: give stragglers (first-round jit
             # compiles!) half the round timeout before declaring dropouts
             secagg_grace_s=max(30.0, cfg.timeout_s / 2),
@@ -298,6 +311,8 @@ class FederatedLearningSimulation:
                     secure_aggregation=cfg.secure_aggregation,
                     distributed_dp=cfg.distributed_dp,
                     ddp_bits=cfg.ddp_bits,
+                    adaptive_clipping=cfg.adaptive_clipping,
+                    clip_count_stddev=cfg.clip_count_stddev,
                 )
                 t.initialize()
                 t.start_training()
@@ -339,6 +354,12 @@ class FederatedLearningSimulation:
                     if servicer.global_model is not None else None),
                 "client_results": {c.client_id: c.get_status()
                                    for c in clients},
+                # wire adaptive clipping: the coordinator's clip-norm
+                # trajectory (one entry per aggregation that saw
+                # indicators), for assertions and run reports
+                "clip_norm_history": [
+                    v for _, v in
+                    servicer.metrics_history.get("clip_norm", [])],
             }
         finally:
             for c in clients:

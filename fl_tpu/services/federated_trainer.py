@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import enum
 import logging
+import math
 import threading
 import time
 from typing import Any, Dict, Optional
@@ -40,7 +41,12 @@ from fl_tpu.fl.local_training import (
     create_adaptive_config,
     make_local_train_fn,
 )
-from fl_tpu.fl.privacy import PrivacyBudgetTracker, clip_and_noise_tree
+from fl_tpu.fl.privacy import (
+    PrivacyBudgetTracker,
+    adaptive_clip_delta_multiplier,
+    clip_and_noise_tree,
+    clip_and_noise_tree_at_sigma,
+)
 from fl_tpu.models import get_model_for_dataset
 from fl_tpu.services.grpc_client import (
     ClientConnectionManager,
@@ -97,6 +103,8 @@ class FederatedTrainer:
         secagg_phase_timeout_s: float = 60.0,
         distributed_dp: bool = False,
         ddp_bits: int = 14,
+        adaptive_clipping: bool = False,
+        clip_count_stddev: float = 0.5,
     ):
         self.client_id = client_id
         self.dataset = dataset
@@ -159,6 +167,40 @@ class FederatedTrainer:
             if privacy is None:
                 raise ValueError("distributed_dp needs a PrivacyConfig "
                                  "(clip norm + noise multiplier)")
+        # wire adaptive clipping (Andrew et al. 2021 over the deployment
+        # path): the coordinator steers the clip norm C via the per-round
+        # RoundConfig.privacy_config broadcast; this client clips to the
+        # broadcast C, noises its delta at the INFLATED z_Δ (so that the
+        # joint release with the indicator is one Gaussian mechanism at
+        # the plain per-round (ε, δ)), locally noises its clipped-count
+        # indicator b_i at σ_b, and ships b̃_i in
+        # training_metrics.additional_metrics. Per-client accounting is
+        # unchanged: same (eps_r, del_r) per round as non-adaptive.
+        self.adaptive_clipping = bool(adaptive_clipping)
+        self.clip_count_stddev = float(clip_count_stddev)
+        if self.adaptive_clipping:
+            if privacy is None:
+                raise ValueError("adaptive_clipping needs a PrivacyConfig")
+            if self.distributed_dp:
+                raise ValueError(
+                    "adaptive_clipping cannot compose with distributed_dp "
+                    "on the wire: the integer pipeline's quantization grid "
+                    "is derived from a FIXED clip norm shared by every "
+                    "party at plan time")
+            if secure_aggregation:
+                raise ValueError(
+                    "adaptive_clipping cannot compose with "
+                    "secure_aggregation on the wire: training metrics are "
+                    "withheld under secagg (masked payloads must not ship "
+                    "next to plaintext per-client signals), so the "
+                    "indicator channel does not exist; a secagg-compatible "
+                    "variant would aggregate indicators through the masked "
+                    "sum itself")
+            # fail at construction, not mid-round: Theorem 1 needs
+            # 2σ_b > z for the joint mechanism to be realizable
+            _z = (math.sqrt(2.0 * math.log(1.25 / self.del_r))
+                  / self.eps_r)
+            adaptive_clip_delta_multiplier(_z, self.clip_count_stddev)
         self.connection = ClientConnectionManager(self.client)
 
         self.state = ClientState.IDLE
@@ -341,6 +383,7 @@ class FederatedTrainer:
         eps_used = 0.0
         upload_weights = self._model.get_model_weights(new_vars)
         ddp_delta = None
+        adaptive_report: Dict[str, float] = {}
         if self.distributed_dp:
             # the DP release is the integer pipeline inside the secagg
             # block below (clip -> grid -> Skellam share -> mask); the
@@ -360,10 +403,38 @@ class FederatedTrainer:
             delta = {k: jnp.asarray(upload_weights[k]) - jnp.asarray(old_w[k])
                      for k in upload_weights}
             nkey = prng.stream_key(ckey, prng.Stream.DP_NOISE)
-            noisy, _, _ = clip_and_noise_tree(
-                delta, nkey, self.eps_r, self.del_r,
-                self.privacy.max_grad_norm,
-            )
+            if self.adaptive_clipping:
+                # clip to the coordinator-broadcast C for THIS round (the
+                # geometric quantile tracker on the server moves it between
+                # rounds); fall back to the local config if the broadcast
+                # omits a privacy config
+                clip_c = float(
+                    round_cfg.privacy_config.max_grad_norm
+                    if round_cfg.privacy_config is not None
+                    else self.privacy.max_grad_norm)
+                z = (math.sqrt(2.0 * math.log(1.25 / self.del_r))
+                     / self.eps_r)
+                z_delta = adaptive_clip_delta_multiplier(
+                    z, self.clip_count_stddev)
+                k_delta, k_count = jax.random.split(nkey)
+                noisy, pre_norm = clip_and_noise_tree_at_sigma(
+                    delta, k_delta, clip_c, z_delta * clip_c)
+                # locally noised clipped-count indicator: the (Δ/C, b−½)
+                # pair noised at (z_Δ, σ_b) is one Gaussian mechanism at z
+                # (Andrew et al. 2021, Thm 1), so shipping b̃ in plaintext
+                # metrics releases nothing beyond the accounted (ε, δ)
+                indicator = float(float(pre_norm) <= clip_c)
+                indicator += self.clip_count_stddev * float(
+                    jax.random.normal(k_count, ()))
+                adaptive_report = {
+                    "adaptive_clip_indicator": indicator,
+                    "adaptive_clip_norm": clip_c,
+                }
+            else:
+                noisy, _, _ = clip_and_noise_tree(
+                    delta, nkey, self.eps_r, self.del_r,
+                    self.privacy.max_grad_norm,
+                )
             upload_weights = {k: np.asarray(jnp.asarray(old_w[k]) + noisy[k])
                               for k in noisy}
             # budget is consumed immediately BEFORE transmission (below):
@@ -462,6 +533,7 @@ class FederatedTrainer:
             epochs_completed=cfg.local_epochs,
             training_time=train_time,
             samples_processed=n_samples * cfg.local_epochs,
+            additional_metrics=adaptive_report,
         )
         update = ModelUpdate(
             client_id=self.client_id,

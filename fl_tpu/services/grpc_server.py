@@ -61,6 +61,10 @@ class FederatedLearningServicer:
         secagg_grace_s: float = 60.0,
         distributed_dp: bool = False,
         ddp_bits: int = 14,
+        adaptive_clipping: bool = False,
+        clip_target_quantile: float = 0.5,
+        clip_learning_rate: float = 0.2,
+        clip_count_stddev: float = 0.5,
     ):
         """``secure_aggregation=True`` switches the round protocol to
         Bonawitz CCS'17 double-masked uploads (fl_tpu.services.secagg_wire):
@@ -136,6 +140,58 @@ class FederatedLearningServicer:
                 raise ValueError(
                     "distributed_dp needs round_config.privacy_config "
                     "(clip norm + noise multiplier shared with clients)")
+        # wire adaptive clipping (Andrew et al. 2021 over the deployment
+        # path — the on-chip engine's twin lives in round_engine.py):
+        # clients running FederatedTrainer(adaptive_clipping=True) clip to
+        # the C this coordinator broadcasts in RoundConfig.privacy_config
+        # and ship a locally-DP-noised clipped-count indicator b̃_i in
+        # training_metrics.additional_metrics; after each aggregation the
+        # geometric quantile tracker moves C toward the
+        # ``clip_target_quantile`` of client delta norms. Privacy is
+        # charged entirely client-side (the joint (Δ, b) release is one
+        # Gaussian mechanism at the per-round (ε, δ) — Thm 1), so this
+        # coordinator's role is purely the PUBLIC control loop.
+        self.adaptive_clipping = bool(adaptive_clipping)
+        self.clip_target_quantile = float(clip_target_quantile)
+        self.clip_learning_rate = float(clip_learning_rate)
+        # σ_b is a shared deployment parameter like ddp_bits: the server
+        # needs it only to keep the auto-validator's |w| bound in step with
+        # the clients' INFLATED delta noise z_Δ·C as C moves
+        self.clip_count_stddev = float(clip_count_stddev)
+        if self.adaptive_clipping:
+            if self.round_config.privacy_config is None:
+                raise ValueError(
+                    "adaptive_clipping needs round_config.privacy_config "
+                    "(it steers privacy_config.max_grad_norm)")
+            if self.distributed_dp:
+                raise ValueError(
+                    "adaptive_clipping cannot compose with distributed_dp: "
+                    "the integer pipeline's quantization grid is derived "
+                    "from a FIXED clip norm shared at plan time")
+            if secure_aggregation:
+                raise ValueError(
+                    "adaptive_clipping cannot compose with "
+                    "secure_aggregation: training metrics (the indicator "
+                    "channel) are withheld under secagg by design")
+            if not (0.0 < self.clip_target_quantile < 1.0):
+                raise ValueError("clip_target_quantile must be in (0, 1)")
+            if self.clip_learning_rate <= 0.0:
+                raise ValueError("clip_learning_rate must be positive")
+            # fail now, not mid-aggregation: Thm 1 needs 2σ_b > z
+            import math as _math
+
+            from fl_tpu.fl.privacy import adaptive_clip_delta_multiplier
+
+            pc = self.round_config.privacy_config
+            _zd = adaptive_clip_delta_multiplier(
+                _math.sqrt(2 * _math.log(1.25 / pc.delta)) / pc.epsilon,
+                self.clip_count_stddev)
+            # adaptive clients noise at the INFLATED z_Δ·C from round 1 —
+            # keep the auto-validator's |w| bound consistent from the start
+            _v = getattr(self.aggregator, "validator", None)
+            if _v is not None and hasattr(_v, "max_abs_weight"):
+                _v.max_abs_weight = max(
+                    _v.max_abs_weight, 10.0 + 8.0 * _zd * pc.max_grad_norm)
         # round_number -> SecAggServerRound. The roster inside is a freeze-
         # time SNAPSHOT of (client_id, pubkey) pairs: every roster fetcher
         # sees the same key for the same peer even if a client re-registers
@@ -640,6 +696,57 @@ class FederatedLearningServicer:
         check_no_wraparound(plan, roster_len)
         return plan
 
+    def _adapted_clip_norm(self, updates) -> Optional[float]:
+        """Geometric quantile-tracking step for wire adaptive clipping
+        (Andrew et al. 2021, Alg. 1 — same update rule as the tested
+        fl_tpu.fl.privacy.geometric_clip_update, host-arithmetic twin):
+        average the clients' locally-noised clipped-count indicators b̃_i
+        and move C ← C·exp(−η_C·(b̄ − γ)). Returns None when no update in
+        the round carried an indicator (legacy / non-adaptive clients), so
+        mixed fleets leave C untouched rather than steering it on silence.
+        """
+        import math
+
+        vals = [
+            u.training_metrics.additional_metrics["adaptive_clip_indicator"]
+            for u in updates
+            if u.training_metrics is not None
+            and "adaptive_clip_indicator"
+            in u.training_metrics.additional_metrics
+        ]
+        if not vals:
+            return None
+        pc = self.round_config.privacy_config
+        frac = float(np.mean(vals))
+        return float(pc.max_grad_norm * math.exp(
+            -self.clip_learning_rate * (frac - self.clip_target_quantile)))
+
+    def _apply_clip_norm(self, new_clip_norm: float) -> None:
+        """Commit an adapted clip norm: broadcast it to clients via the
+        per-round RoundConfig.privacy_config and keep the auto-validator's
+        |w| bound in step with the clients' z_Δ·C delta noise (caller
+        holds the lock)."""
+        import dataclasses
+        import math
+
+        pc = self.round_config.privacy_config
+        self.round_config = dataclasses.replace(
+            self.round_config,
+            privacy_config=dataclasses.replace(
+                pc, max_grad_norm=new_clip_norm))
+        validator = getattr(self.aggregator, "validator", None)
+        if validator is not None and hasattr(validator, "max_abs_weight"):
+            from fl_tpu.fl.privacy import adaptive_clip_delta_multiplier
+
+            z = math.sqrt(2 * math.log(1.25 / pc.delta)) / pc.epsilon
+            z_delta = adaptive_clip_delta_multiplier(
+                z, self.clip_count_stddev)
+            validator.max_abs_weight = (
+                10.0 + 8.0 * z_delta * new_clip_norm)
+        self.metrics_history.setdefault("clip_norm", []).append(
+            (time.time(), new_clip_norm))
+        logger.info("adaptive clipping: C -> %.6g", new_clip_norm)
+
     def _perform_aggregation(self, round_number: int) -> None:
         """ref: grpc_server.py:465-506 — aggregate, convergence, advance."""
         t0 = time.time()
@@ -710,6 +817,8 @@ class FederatedLearningServicer:
                 prev_model, new_model
             )
             new_model.convergence_score = score
+            new_clip_norm = (self._adapted_clip_norm(updates)
+                             if self.adaptive_clipping else None)
             if prev_model is not None:
                 # carry forward only metrics this aggregation did NOT
                 # produce (e.g. an externally-set test_accuracy) — copying
@@ -726,6 +835,8 @@ class FederatedLearningServicer:
             with self._lock:
                 self.global_model = new_model
                 self.current_round = round_number + 1
+                if new_clip_norm is not None:
+                    self._apply_clip_norm(new_clip_norm)
                 self.pending_updates.pop(round_number, None)
                 self.secagg_rounds.pop(round_number, None)
                 for u in updates:

@@ -176,6 +176,8 @@ class ProtobufConverter:
                 epochs_completed=tm.epochs_completed,
                 training_time_seconds=tm.training_time,
                 samples_processed=tm.samples_processed,
+                additional_metrics={k: float(v) for k, v
+                                    in tm.additional_metrics.items()},
             ))
         return msg
 
@@ -188,6 +190,7 @@ class ProtobufConverter:
                 epochs_completed=tm.epochs_completed,
                 training_time=tm.training_time_seconds,
                 samples_processed=tm.samples_processed,
+                additional_metrics=dict(tm.additional_metrics),
             )
         return ModelUpdate(
             client_id=p.client_id,
