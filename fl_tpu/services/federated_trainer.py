@@ -17,6 +17,7 @@ reproduced: compression is actually applied to the upload when enabled.
 from __future__ import annotations
 
 import enum
+import hashlib
 import logging
 import math
 import threading
@@ -220,7 +221,13 @@ class FederatedTrainer:
         self._local_train = None
         self._shard = None
         self._train_fn_cache: dict = {}
-        self._root_key = prng.root_key(hash(client_id) & 0x7FFFFFFF)
+        # stable digest, NOT hash(): Python string hashing is randomized
+        # per process, which would give a restarted client a different
+        # noise/shuffle stream for the same (client_id, round) — breaking
+        # resume reproducibility and making wire tests nondeterministic
+        seed = int.from_bytes(
+            hashlib.sha256(client_id.encode()).digest()[:4], "big")
+        self._root_key = prng.root_key(seed & 0x7FFFFFFF)
 
     # -- initialization (ref: initialize, federated_trainer.py:109-207) -------
     def initialize(self) -> None:

@@ -230,6 +230,10 @@ def test_adaptive_clip_wire_e2e():
         privacy_epsilon=16.0, dp_mode="delta", timeout_s=300,
         heterogeneous_clients=False,
         max_grad_norm=100.0,  # >> any 1-epoch tiny-model delta norm
+        # sigma_b=0.4 sits just above the Thm-1 feasibility floor for
+        # round 2's z (2*sigma_b > 0.623). The indicator noise realization
+        # is deterministic (client root keys are sha256(client_id)-seeded),
+        # so the direction assertions below are stable run to run.
         adaptive_clipping=True, clip_count_stddev=0.4,
         clip_target_quantile=0.5, clip_learning_rate=0.2,
     ))
