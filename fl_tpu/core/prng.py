@@ -42,6 +42,24 @@ def root_key(seed: int) -> jax.Array:
     return jax.random.PRNGKey(seed)
 
 
+def root_key_from_digest(digest: bytes) -> jax.Array:
+    """Root key carrying up to 124 bits of a hash digest.
+
+    ``PRNGKey(int(digest[:4]))`` keeps only 31 bits — two clients collide
+    with ~50% probability at ~54k clients (birthday bound) and the space is
+    brute-forceable. Folding four 31-bit words keeps the derivation cheap
+    while preserving enough of the digest that collisions are negligible.
+    """
+    if len(digest) < 16:
+        raise ValueError("root_key_from_digest needs >= 16 digest bytes")
+    words = [int.from_bytes(digest[i:i + 4], "big") & 0x7FFFFFFF
+             for i in range(0, 16, 4)]
+    key = jax.random.PRNGKey(words[0])
+    for w in words[1:]:
+        key = jax.random.fold_in(key, w)
+    return key
+
+
 def round_key(root: jax.Array, round_number) -> jax.Array:
     return jax.random.fold_in(root, round_number)
 

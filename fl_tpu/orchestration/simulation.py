@@ -25,6 +25,7 @@ round budget exhausted | wall-clock timeout.
 from __future__ import annotations
 
 import dataclasses
+import hashlib
 import json
 import logging
 import time
@@ -98,6 +99,11 @@ class SimulationConfig:
     clip_target_quantile: float = 0.5
     clip_learning_rate: float = 0.2
     clip_count_stddev: float = 0.5
+    # test-only determinism hook: when set, client i's DP noise secret is
+    # sha256(f"{dp_noise_seed}:{i}") so noise realizations are repeatable.
+    # Production leaves this None -> per-client os.urandom secrets (DP
+    # noise must never be derivable from public identifiers; ADVICE r4).
+    dp_noise_seed: Optional[int] = None
     n_train_synth: int = 20_000
     n_test_synth: int = 4_000
     samples_per_client: Optional[int] = None
@@ -313,6 +319,10 @@ class FederatedLearningSimulation:
                     ddp_bits=cfg.ddp_bits,
                     adaptive_clipping=cfg.adaptive_clipping,
                     clip_count_stddev=cfg.clip_count_stddev,
+                    dp_noise_secret=(
+                        hashlib.sha256(
+                            f"{cfg.dp_noise_seed}:{i}".encode()).digest()
+                        if cfg.dp_noise_seed is not None else None),
                 )
                 t.initialize()
                 t.start_training()

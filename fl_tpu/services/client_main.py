@@ -65,6 +65,12 @@ class ClientService:
             distributed_dp=bool(
                 cfg.get("security", {}).get("distributed_dp", False)),
             ddp_bits=int(cfg.get("security", {}).get("ddp_bits", 14)),
+            # client-held secret file keying the DP noise streams; default
+            # under the checkpoint dir so a restarted client reproduces its
+            # own noise (nobody else can: the file is 0600 local state)
+            dp_secret_path=privacy_cfg.get(
+                "dp_secret_path",
+                cfg.get("checkpointing", {}).get("dp_secret_path")),
         )
         logger.info("client %s starting against %s:%s", client_id,
                     client_cfg.get("coordinator_host", "localhost"),

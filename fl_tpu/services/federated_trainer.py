@@ -18,8 +18,11 @@ from __future__ import annotations
 
 import enum
 import hashlib
+import hmac
 import logging
 import math
+import os
+import pathlib
 import threading
 import time
 from typing import Any, Dict, Optional
@@ -106,6 +109,8 @@ class FederatedTrainer:
         ddp_bits: int = 14,
         adaptive_clipping: bool = False,
         clip_count_stddev: float = 0.5,
+        dp_noise_secret: Optional[bytes] = None,
+        dp_secret_path: Optional[str] = None,
     ):
         self.client_id = client_id
         self.dataset = dataset
@@ -221,13 +226,52 @@ class FederatedTrainer:
         self._local_train = None
         self._shard = None
         self._train_fn_cache: dict = {}
-        # stable digest, NOT hash(): Python string hashing is randomized
-        # per process, which would give a restarted client a different
-        # noise/shuffle stream for the same (client_id, round) — breaking
-        # resume reproducibility and making wire tests nondeterministic
-        seed = int.from_bytes(
-            hashlib.sha256(client_id.encode()).digest()[:4], "big")
-        self._root_key = prng.root_key(seed & 0x7FFFFFFF)
+        # Two root keys with different trust requirements:
+        #
+        # 1. _root_key — data shuffle / training-order streams only. A
+        #    stable digest (NOT hash(): Python string hashing is randomized
+        #    per process) so a restarted client replays the same shuffle for
+        #    the same (client_id, round) — resume reproducibility.
+        # 2. _dp_root_key — every privacy-bearing stream (DP_NOISE,
+        #    DISTRIBUTED_DP). Derived by keying the digest with SECRET
+        #    per-client entropy: if the noise key were computable from the
+        #    public client_id (as it was pre round-5), anyone knowing
+        #    (client_id, client_index, round) — e.g. the coordinator —
+        #    could regenerate the exact Gaussian/Skellam draws and subtract
+        #    them from the upload, voiding the (eps, delta) guarantee. The
+        #    secret comes from, in priority order: an injected test/resume
+        #    secret, a client-held secret file (created 0600 on first use so
+        #    resume reproduces noise only to the client itself), or fresh
+        #    os.urandom (non-resumable noise, still correct DP).
+        digest = hashlib.sha256(client_id.encode()).digest()
+        self._root_key = prng.root_key_from_digest(digest)
+        secret = dp_noise_secret
+        if secret is None and dp_secret_path is not None:
+            secret = self._load_or_create_dp_secret(dp_secret_path)
+        if secret is None:
+            secret = os.urandom(32)
+        dp_digest = hmac.new(secret, client_id.encode(),
+                             hashlib.sha256).digest()
+        self._dp_root_key = prng.root_key_from_digest(dp_digest)
+
+    @staticmethod
+    def _load_or_create_dp_secret(path: str) -> bytes:
+        p = pathlib.Path(path)
+        if p.exists():
+            secret = p.read_bytes()
+            if len(secret) < 16:
+                raise ValueError(
+                    f"dp secret at {path} is {len(secret)} bytes; refusing "
+                    "to derive DP noise keys from <128 bits of entropy")
+            return secret
+        p.parent.mkdir(parents=True, exist_ok=True)
+        secret = os.urandom(32)
+        fd = os.open(str(p), os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o600)
+        try:
+            os.write(fd, secret)
+        finally:
+            os.close(fd)
+        return secret
 
     # -- initialization (ref: initialize, federated_trainer.py:109-207) -------
     def initialize(self) -> None:
@@ -409,7 +453,12 @@ class FederatedTrainer:
             old_w = self._model.get_model_weights(variables)
             delta = {k: jnp.asarray(upload_weights[k]) - jnp.asarray(old_w[k])
                      for k in upload_weights}
-            nkey = prng.stream_key(ckey, prng.Stream.DP_NOISE)
+            # noise keys descend from the SECRET dp root, never from ckey
+            # (which is derivable from the public client_id)
+            dpkey = prng.client_key(
+                prng.round_key(self._dp_root_key, round_number),
+                self.client_index)
+            nkey = prng.stream_key(dpkey, prng.Stream.DP_NOISE)
             if self.adaptive_clipping:
                 # clip to the coordinator-broadcast C for THIS round (the
                 # geometric quantile tracker on the server moves it between
@@ -511,7 +560,10 @@ class FederatedTrainer:
                     bits=self.ddp_bits, dim=dim,
                     expected_clients=len(info["peers"]),
                     noise_multiplier=float(self.privacy.noise_multiplier))
-                seed_bytes = prng.stream_key(ckey,
+                dpkey = prng.client_key(
+                    prng.round_key(self._dp_root_key, round_number),
+                    self.client_index)
+                seed_bytes = prng.stream_key(dpkey,
                                              prng.Stream.DISTRIBUTED_DP)
                 rng = np.random.default_rng(
                     np.asarray(seed_bytes, np.uint32).tolist())

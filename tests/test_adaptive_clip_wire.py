@@ -231,9 +231,12 @@ def test_adaptive_clip_wire_e2e():
         heterogeneous_clients=False,
         max_grad_norm=100.0,  # >> any 1-epoch tiny-model delta norm
         # sigma_b=0.4 sits just above the Thm-1 feasibility floor for
-        # round 2's z (2*sigma_b > 0.623). The indicator noise realization
-        # is deterministic (client root keys are sha256(client_id)-seeded),
-        # so the direction assertions below are stable run to run.
+        # round 2's z (2*sigma_b > 0.623). dp_noise_seed is the explicit
+        # test-only determinism hook: it injects fixed per-client DP
+        # secrets so the indicator noise realization repeats run to run.
+        # Production clients draw secrets from os.urandom — DP noise must
+        # NOT be derivable from the public client_id.
+        dp_noise_seed=7,
         adaptive_clipping=True, clip_count_stddev=0.4,
         clip_target_quantile=0.5, clip_learning_rate=0.2,
     ))
