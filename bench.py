@@ -193,11 +193,15 @@ def main() -> None:
 
     # sequential dispatch measures ~2x faster than the fused lax.scan at
     # this round granularity (828 vs 1687 ms/round — docs/performance.md);
-    # run_rounds_fused exists for dispatch-bound (tiny-round) scales
+    # run_rounds_fused exists for dispatch-bound (tiny-round) scales.
+    # Depth-1 dispatch pipelining overlaps the host control plane (the
+    # metrics-readback RTTs through the remote-TPU transport, privacy
+    # accounting, convergence bookkeeping) with device compute — same
+    # per-round program and semantics as a run_round loop.
     t0 = time.perf_counter()
-    for _ in range(args.rounds):
-        engine.run_round(evaluate=False)
-    # run_round blocks on host-side float() conversions, so timing is sync'd
+    engine.run_rounds_pipelined(args.rounds, evaluate=False)
+    # the last round's finalize blocks on its metrics readback, so timing
+    # is sync'd
     dt = time.perf_counter() - t0
     rounds_per_sec = args.rounds / dt
     client_rounds_per_sec = rounds_per_sec * NUM_CLIENTS

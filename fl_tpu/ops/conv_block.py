@@ -517,6 +517,247 @@ def _bwd_call_impl(g, x_img, w1s, b1s, w2m, b2m):
 
 
 # ---------------------------------------------------------------------------
+# residual variant: the forward stores the pool2 first-match window index
+# ---------------------------------------------------------------------------
+#
+# Round-5: the backward kernel's 25.2 ms self-time (the bisection table in
+# docs/performance.md — the round-4 "11.9 ms" was a DCE artifact) is
+# dominated by the conv2 forward recompute and the ~15 full-plane mask ops
+# of the first-match pool2 routing. Both are REPLACEABLE by one tiny
+# residual: the fwd computes the 2x2 window argmax on the four parity
+# sub-lattices (compact quarter planes — no spreads needed) and stores the
+# routing index (values 0..3, one per pooled position; ~134 MB/step at
+# bench shapes vs the ~1.5 GB/step x2/a2 would cost). relu2' folds into
+# the cotangent OUTSIDE the kernel as g * (pooled > 0): the routed window
+# position has a2 == pooled exactly. The stem recompute stays — the pool1
+# routing needs y1 anyway, and x2 (conv2 wgrad's input) falls out of it
+# for free.
+
+def _fwd_kernel_res(dims, xs_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                    pooled_ref, idx_ref, xs_halo, x2_halo):
+    Bc, H, W, C1, C2, Hp, Wp, shifts, smax = dims
+    M = Bc * Hp * Wp
+    cdt = xs_ref.dtype
+    S = xs_ref.shape[-1]
+
+    xsh = _xs_to_halo(xs_halo, xs_ref[:], Bc, H, Wp)
+    y1 = _conv_taps(xsh, shifts, w1_ref, S, M) + b1_ref[:]
+    y1 = jnp.maximum(y1, 0.0).astype(cdt)
+    x2 = jnp.maximum(
+        jnp.maximum(y1[:, 0 * C1:1 * C1], y1[:, 1 * C1:2 * C1]),
+        jnp.maximum(y1[:, 2 * C1:3 * C1], y1[:, 3 * C1:4 * C1]))
+    valid = _row_valid_mask(M, Bc, Hp, Wp, H, W)
+    x2 = x2 * valid.astype(cdt)
+    x2h = _halo(x2_halo, x2, Wp + 1, M)
+    y2 = _conv_taps(x2h, shifts, w2_ref, C1, M) + b2_ref[:]
+    a2 = jnp.maximum(y2, 0.0).astype(cdt)
+
+    # maxpool2 + first-match argmax on the four parity sub-lattices:
+    # window member (dh, dw) of the window at (2hh, 2ww) is exactly the
+    # (dh, dw) parity compact — quarter-size planes, so the routing
+    # algebra costs ~1/4 of the backward's old full-plane formulation
+    # and needs no spread shifts at all
+    qd = (Bc, Hp, Wp, C2)
+    R = Bc * (Hp // 2) * (Wp // 2)
+    a00 = _compact(a2, qd, 0, 0).reshape(R, C2)
+    a01 = _compact(a2, qd, 0, 1).reshape(R, C2)
+    a10 = _compact(a2, qd, 1, 0).reshape(R, C2)
+    a11 = _compact(a2, qd, 1, 1).reshape(R, C2)
+    m, (e00, e01, e10, e11) = _pool_argmax_first(a00, a01, a10, a11)
+    del e00  # index 0 is the all-zeros encoding
+    idx_ref[:] = (e01 + 2.0 * e10 + 3.0 * e11).astype(cdt)
+    Ho, Wo = H // 2, W // 2
+    pooled_ref[:] = m.astype(cdt).reshape(
+        Bc, Hp // 2, Wp // 2, C2)[:, :Ho, :Wo, :]
+
+
+def _bwd_kernel_res(dims, g_ref, idx_ref, xs_ref, w1_ref, b1_ref,
+                    w2f_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
+                    xs_halo, x2_halo, dz_halo):
+    """Backward with the stored pool2 routing index: no conv2 forward
+    recompute, no full-plane tie-break algebra. g arrives already
+    multiplied by relu2' (= pooled > 0) — see conv_stack_res."""
+    Bc, H, W, C1, C2, Hp, Wp, shifts, smax = dims
+    M = Bc * Hp * Wp
+    f32 = jnp.float32
+    cdt = xs_ref.dtype
+    first = pl.program_id(0) == 0
+
+    # --- stem recompute (needed for pool1 routing; x2 falls out) --------
+    S = xs_ref.shape[-1]
+    xsh = _xs_to_halo(xs_halo, xs_ref[:], Bc, H, Wp)
+    y1 = _conv_taps(xsh, shifts, w1_ref, S, M) + b1_ref[:]
+    y1 = jnp.maximum(y1, 0.0).astype(cdt)
+    x2 = jnp.maximum(
+        jnp.maximum(y1[:, 0 * C1:1 * C1], y1[:, 1 * C1:2 * C1]),
+        jnp.maximum(y1[:, 2 * C1:3 * C1], y1[:, 3 * C1:4 * C1]))
+    valid = _row_valid_mask(M, Bc, Hp, Wp, H, W)
+    x2 = x2 * valid.astype(cdt)
+    x2h = _halo(x2_halo, x2, Wp + 1, M)
+
+    # --- pool2 backward: route by the stored first-match index ----------
+    g_at = _upsample2x2(g_ref[:].astype(f32), Bc, Hp, Wp)
+    idx_at = _upsample2x2(idx_ref[:].astype(f32), Bc, Hp, Wp)
+    r = jax.lax.broadcasted_iota(jnp.int32, (M, 1), 0)
+    pos = (2 * ((r // Wp) % 2) + (r % 2)).astype(f32)   # (M, 1) in 0..3
+    one = jnp.ones((), f32)
+    take = jnp.where(idx_at == pos, one, 0.0)
+    dz2 = g_at * take * valid                            # (M, C2) f32
+    db2 = jnp.sum(dz2, axis=0, keepdims=True)
+
+    # --- conv2 wgrad / dgrad (same as the residual-free kernel) ---------
+    dz2c = dz2.astype(cdt)
+    dw2 = _wgrad_taps(x2h, shifts, dz2c, C1, M)
+    dzh = _halo(dz_halo, dz2c, smax - Wp - 1, M)
+    dx2 = _conv_taps(dzh, tuple(smax - s for s in shifts),
+                     w2f_ref, C2, M)
+    dx2 = dx2 * valid
+
+    # --- stem backward: route by group argmax of the recomputed y1 ------
+    g0, g1 = y1[:, 0 * C1:1 * C1], y1[:, 1 * C1:2 * C1]
+    g2, g3 = y1[:, 2 * C1:3 * C1], y1[:, 3 * C1:4 * C1]
+    _, (f0, f1, f2, f3) = _pool_argmax_first(g0, g1, g2, g3)
+
+    def _pos_mask(t):
+        return jnp.where(t.astype(f32) > 0.0, 1.0, 0.0)
+
+    dz1 = jnp.concatenate(
+        [dx2 * f0 * _pos_mask(g0), dx2 * f1 * _pos_mask(g1),
+         dx2 * f2 * _pos_mask(g2), dx2 * f3 * _pos_mask(g3)], axis=1)
+    db1 = jnp.sum(dz1, axis=0, keepdims=True)
+    dw1 = _wgrad_taps(xsh, shifts, dz1.astype(cdt), S, M)
+
+    @pl.when(first)
+    def _():
+        dw1_ref[:] = dw1
+        db1_ref[:] = db1
+        dw2_ref[:] = dw2
+        db2_ref[:] = db2
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        dw1_ref[:] += dw1
+        db1_ref[:] += db1
+        dw2_ref[:] += dw2
+        db2_ref[:] += db2
+
+
+def _fwd_call_impl_res(x_img, w1s, b1s, w2m, b2m):
+    """Residual-variant forward: returns (pooled, idx) where idx is the
+    compact (B·(Hp/2)·(Wp/2), C2) first-match window index in {0..3}."""
+    B = x_img.shape[0]
+    H = x_img.shape[1] // 2
+    W = x_img.shape[2] // 2
+    C1 = w1s.shape[1] // 4
+    C2 = w2m.shape[1]
+    Hp, Wp, shifts, smax = _geometry(H)
+    cdt = w2m.dtype
+    Bc = _pick_bc(B, cdt, pack=x_img.shape[-1])
+    nc = B // Bc
+    M = Bc * Hp * Wp
+    Ho, Wo = H // 2, W // 2
+    dims = (Bc, H, W, C1, C2, Hp, Wp, shifts, smax)
+
+    xs = _collapse_s2d(x_img.astype(cdt))
+    S = xs.shape[-1]
+    kern = functools.partial(_fwd_kernel_res, dims)
+    pooled, idx = pl.pallas_call(
+        kern,
+        grid=(nc,),
+        in_specs=[
+            pl.BlockSpec((Bc * H * W, S), lambda j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9 * S, 4 * C1), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4 * C1), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9 * C1, C2), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C2), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((Bc, Ho, Wo, C2), lambda j: (j, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bc * (Hp // 2) * (Wp // 2), C2),
+                         lambda j: (j, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, Ho, Wo, C2), cdt),
+            jax.ShapeDtypeStruct((B * (Hp // 2) * (Wp // 2), C2), cdt),
+        ),
+        scratch_shapes=[pltpu.VMEM((M + smax, S), cdt),
+                        pltpu.VMEM((M + smax, C1), cdt)],
+        interpret=_interpret(),
+    )(xs, w1s.astype(cdt), b1s.astype(jnp.float32).reshape(1, -1),
+      w2m.astype(cdt), b2m.astype(jnp.float32).reshape(1, -1))
+    return pooled, idx
+
+
+def _bwd_call_impl_res(g, idx, x_img, w1s, b1s, w2m):
+    """Residual-variant backward. ``g`` must already carry relu2'
+    (multiplied by ``pooled > 0`` — conv_stack_res does this)."""
+    B = x_img.shape[0]
+    H = x_img.shape[1] // 2
+    W = x_img.shape[2] // 2
+    C1 = w1s.shape[1] // 4
+    C2 = w2m.shape[1]
+    Hp, Wp, shifts, smax = _geometry(H)
+    cdt = w2m.dtype
+    Bc = _pick_bc(B, cdt, bwd=True, pack=x_img.shape[-1])
+    nc = B // Bc
+    M = Bc * Hp * Wp
+    dims = (Bc, H, W, C1, C2, Hp, Wp, shifts, smax)
+
+    xs = _collapse_s2d(x_img.astype(cdt))
+    S = xs.shape[-1]
+    w2f = (w2m.reshape(9, C1, C2).transpose(0, 2, 1)
+           .reshape(9 * C2, C1).astype(cdt))
+    R = Bc * (Hp // 2) * (Wp // 2)
+    kern = functools.partial(_bwd_kernel_res, dims)
+    dw1, db1, dw2, db2 = pl.pallas_call(
+        kern,
+        grid=(nc,),
+        in_specs=[
+            pl.BlockSpec((R, C2), lambda j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, C2), lambda j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bc * H * W, S), lambda j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9 * S, 4 * C1), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4 * C1), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9 * C2, C1), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((9 * S, 4 * C1), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4 * C1), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9 * C1, C2), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C2), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((9 * S, 4 * C1), jnp.float32),
+            jax.ShapeDtypeStruct((1, 4 * C1), jnp.float32),
+            jax.ShapeDtypeStruct((9 * C1, C2), jnp.float32),
+            jax.ShapeDtypeStruct((1, C2), jnp.float32),
+        ),
+        scratch_shapes=[pltpu.VMEM((M + smax, S), cdt),
+                        pltpu.VMEM((M + smax, C1), cdt),
+                        pltpu.VMEM((M + smax, C2), cdt)],
+        interpret=_interpret(),
+    )(_compact_pool_cotangent(g.astype(cdt), Hp, Wp), idx, xs,
+      w1s.astype(cdt), b1s.astype(jnp.float32).reshape(1, -1), w2f)
+    return dw1, db1.reshape(-1), dw2, db2.reshape(-1)
+
+
+# ---------------------------------------------------------------------------
 # pair-packing vmap rules: vmap over clients takes the lane-packed path
 # ---------------------------------------------------------------------------
 #
@@ -612,6 +853,62 @@ def _bwd_vmap_rule(axis_size, in_batched, g, x_img, w1s, b1s, w2m, b2m):
     return (dw1, db1, dw2, db2), (True, True, True, True)
 
 
+_fwd_call_res = custom_vmap(_fwd_call_impl_res)
+
+
+@_fwd_call_res.def_vmap
+def _fwd_res_vmap_rule(axis_size, in_batched, x_img, w1s, b1s, w2m, b2m):
+    x_img, w1s, b1s, w2m, b2m = _bcast_unbatched(
+        axis_size, in_batched, (x_img, w1s, b1s, w2m, b2m))
+    if axis_size % 2 or x_img.shape[-1] != 1:
+        outs = jax.vmap(_fwd_call_impl_res)(x_img, w1s, b1s, w2m, b2m)
+        return outs, (True, True)
+    xp, w1p, b1p, w2p, b2p, n, C1, C2 = _pair_lifted(
+        x_img, w1s, b1s, w2m, b2m)
+    pooled, idx = jax.vmap(_fwd_call_impl_res)(xp, w1p, b1p, w2p, b2p)
+    B, Ho, Wo = pooled.shape[1:4]
+    out = pooled.reshape(n, B, Ho, Wo, 2, C2)
+    out = jnp.moveaxis(out, 4, 1).reshape(axis_size, B, Ho, Wo, C2)
+    R = idx.shape[1]
+    idx = jnp.moveaxis(idx.reshape(n, R, 2, C2), 2, 1) \
+        .reshape(axis_size, R, C2)
+    return (out, idx), (True, True)
+
+
+_bwd_call_res = custom_vmap(_bwd_call_impl_res)
+
+
+@_bwd_call_res.def_vmap
+def _bwd_res_vmap_rule(axis_size, in_batched, g, idx, x_img, w1s, b1s, w2m):
+    g, idx, x_img, w1s, b1s, w2m = _bcast_unbatched(
+        axis_size, in_batched, (g, idx, x_img, w1s, b1s, w2m))
+    if axis_size % 2 or x_img.shape[-1] != 1:
+        outs = jax.vmap(_bwd_call_impl_res)(g, idx, x_img, w1s, b1s, w2m)
+        return outs, (True, True, True, True)
+    C2 = w2m.shape[-1]
+    xp, w1p, b1p, w2p, _unused_b2p, n, C1, C2 = _pair_lifted(
+        x_img, w1s, b1s, w2m, jnp.zeros((axis_size, C2), w2m.dtype))
+    B, Ho, Wo = g.shape[1:4]
+    gp = jnp.moveaxis(g.reshape(n, 2, B, Ho, Wo, C2), 1, 4) \
+        .reshape(n, B, Ho, Wo, 2 * C2)
+    R = idx.shape[1]
+    idxp = jnp.moveaxis(idx.reshape(n, 2, R, C2), 1, 2) \
+        .reshape(n, R, 2 * C2)
+    dw1p, db1p, dw2p, db2p = jax.vmap(_bwd_call_impl_res)(
+        gp, idxp, xp, w1p, b1p, w2p)
+    eye = jnp.eye(2, dtype=dw1p.dtype)
+    dw1 = jnp.einsum("nkpigqo,pq->npkigo",
+                     dw1p.reshape(n, 9, 2, 4, 4, 2, C1), eye) \
+        .reshape(axis_size, 36, 4 * C1)
+    db1 = db1p.reshape(n, 4, 2, C1).transpose(0, 2, 1, 3) \
+        .reshape(axis_size, 4 * C1)
+    dw2 = jnp.einsum("nkpiqo,pq->npkio",
+                     dw2p.reshape(n, 9, 2, C1, 2, C2), eye) \
+        .reshape(axis_size, 9 * C1, C2)
+    db2 = db2p.reshape(axis_size, C2)
+    return (dw1, db1, dw2, db2), (True, True, True, True)
+
+
 # ---------------------------------------------------------------------------
 # weight lifts and their adjoints (host/XLA side, tiny tensors)
 # ---------------------------------------------------------------------------
@@ -697,6 +994,49 @@ def _stack_bwd(res, g):
 
 
 conv_stack.defvjp(_stack_fwd, _stack_bwd)
+
+
+@jax.custom_vjp
+def conv_stack_res(x_img: jax.Array, w1: jax.Array, b1: jax.Array,
+                   w2: jax.Array, b2: jax.Array) -> jax.Array:
+    """conv_stack with a stored pool2 routing-index residual (round-5).
+
+    Bit-identical outputs and gradients to conv_stack (same kernels'
+    compute chain, same first-match tie-break — tests/test_conv_block.py);
+    the backward consumes the fwd's compact window index instead of
+    recomputing conv2 and running the full-plane routing algebra, and
+    relu2' is applied to the cotangent OUTSIDE the kernel as
+    g * (pooled > 0) — the routed window position holds a2 == pooled
+    exactly. VJP returns zero image gradient like conv_stack."""
+    w1s, b1s = lift_stem(w1, b1)
+    pooled, _ = _fwd_call_res(x_img, w1s, b1s,
+                              w2.reshape(-1, w2.shape[-1]), b2)
+    return pooled
+
+
+def _stack_res_fwd(x_img, w1, b1, w2, b2):
+    w1s, b1s = lift_stem(w1, b1)
+    w2m = w2.reshape(-1, w2.shape[-1])
+    pooled, idx = _fwd_call_res(x_img, w1s, b1s, w2m, b2)
+    return pooled, (x_img, w1s, b1s, w2m, pooled, idx)
+
+
+def _stack_res_bwd(res, g):
+    x_img, w1s, b1s, w2m, pooled, idx = res
+    C1 = w1s.shape[1] // 4
+    C2 = w2m.shape[1]
+    # relu2' at the routed position: a2 there equals the window max, so
+    # (pooled > 0) is exactly relu'(y2) where the gradient lands
+    g = g * (pooled > 0).astype(g.dtype)
+    dw1s, db1s, dw2m, db2 = _bwd_call_res(g, idx, x_img, w1s, b1s, w2m)
+    dw1, db1 = unlift_stem_grads(dw1s, db1s, C1)
+    dw2 = dw2m.reshape(3, 3, C1, C2)
+    return (jnp.zeros_like(x_img), dw1.astype(jnp.float32),
+            db1.astype(jnp.float32), dw2.astype(jnp.float32),
+            db2.astype(jnp.float32))
+
+
+conv_stack_res.defvjp(_stack_res_fwd, _stack_res_bwd)
 
 
 # ---------------------------------------------------------------------------

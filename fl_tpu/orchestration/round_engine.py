@@ -274,6 +274,25 @@ class RoundResult:
     clip_norm: Optional[float] = None  # adaptive clipping: C used this round
 
 
+@dataclasses.dataclass
+class _PendingRound:
+    """A dispatched-but-not-yet-finalized round (run_rounds_pipelined).
+
+    Holds the device handles and host bookkeeping captured at dispatch
+    time so the metrics readback (and the ledger entry whose metadata
+    needs those metrics) can happen one round later without changing
+    sequential semantics."""
+
+    round_number: int
+    mask: np.ndarray
+    t0: float
+    metrics: Dict[str, Any]
+    variables: Variables
+    eps_spent: float
+    round_clip: Optional[float]
+    ledger: Optional[Callable[[Dict[str, Any]], None]]
+
+
 class FederatedRoundEngine:
     """Owns the jitted superstep and the host round loop."""
 
@@ -1502,6 +1521,72 @@ class FederatedRoundEngine:
         inject_deltas=None,
     ) -> RoundResult:
         """Execute one FedAvg round (superstep + host bookkeeping)."""
+        return self._finalize_round(
+            self._dispatch_round(mask, inject_flags, inject_deltas),
+            evaluate=evaluate,
+        )
+
+    def run_rounds_pipelined(
+        self,
+        num_rounds: int,
+        evaluate: bool = False,
+        masks: Optional[np.ndarray] = None,
+    ) -> List[RoundResult]:
+        """``num_rounds`` sequential rounds with depth-1 dispatch
+        pipelining: round r+1's superstep is enqueued before round r's
+        metrics are read back, so the host control plane (dispatch
+        latency, the metrics readback RTT, privacy accounting,
+        convergence bookkeeping) overlaps device compute instead of
+        serializing with it. On a remote-attached TPU this hides the
+        transport round trips that dominate the wall-vs-device gap
+        (docs/performance.md round-5 table).
+
+        Semantics match a run_round loop exactly — every budget check and
+        charge still happens at its round's dispatch, before the next
+        round is enqueued — EXCEPT that host state feeding the next
+        dispatch cannot come from the previous round's metrics, so
+        adaptive_clipping refuses this path (its clip norm is a
+        metrics-derived host carry)."""
+        if self.config.adaptive_clipping:
+            raise ValueError(
+                "run_rounds_pipelined cannot pipeline adaptive_clipping "
+                "(round r+1's clip norm comes from round r's metrics); "
+                "use run_round / run")
+        results: List[RoundResult] = []
+        pending: Optional[_PendingRound] = None
+        try:
+            for r in range(num_rounds):
+                nxt = self._dispatch_round(
+                    None if masks is None else masks[r])
+                if pending is not None:
+                    results.append(
+                        self._finalize_round(pending, evaluate=evaluate))
+                pending = nxt
+        except Exception:
+            # a refused dispatch (budget exhaustion, roster checks) must
+            # not orphan the already-dispatched round: finalize it so
+            # history/ledger stay coherent, then surface the refusal
+            if pending is not None:
+                results.append(
+                    self._finalize_round(pending, evaluate=evaluate))
+            raise
+        results.append(self._finalize_round(pending, evaluate=evaluate))
+        return results
+
+    def _dispatch_round(
+        self,
+        mask: Optional[np.ndarray] = None,
+        inject_flags: Optional[np.ndarray] = None,
+        inject_deltas=None,
+    ) -> _PendingRound:
+        """Pre-round checks + budget charging + superstep dispatch.
+
+        Returns device handles; does NOT block on device compute. All
+        HOST round state is updated here (accountants charged, round
+        number advanced) so a subsequent dispatch sees this round's
+        charges even before its metrics are read back; only the ledger
+        entry (whose metadata wants measured noise scales) and the
+        metrics-derived bookkeeping wait for _finalize_round."""
         cfg = self.config
         t0 = time.perf_counter()
         if mask is None:
@@ -1524,7 +1609,7 @@ class FederatedRoundEngine:
                     f"krum(f={cfg.krum_f}) needs at least 2f+3="
                     f"{2 * cfg.krum_f + 3} participants; this round "
                     f"realized {m}")
-        eps_spent = 0.0
+        dist_rdp = None
         if cfg.dp_mode == "dp_ftrl":
             if self.round_number >= cfg.ftrl_rounds:
                 raise dp.PrivacyError(
@@ -1665,52 +1750,65 @@ class FederatedRoundEngine:
         round_clip = None
         if cfg.adaptive_clipping:
             round_clip = self.clip_norm  # the C this round actually used
-            self.clip_norm = float(metrics["next_clip_norm"])
 
+        # ---- budget charging (host state only — metrics not needed) ----
+        # The LEDGER entry for the charge is deferred to _finalize_round
+        # via a closure: its metadata records measured noise scales that
+        # live in the (still in-flight) device metrics.
+        eps_spent = 0.0
+        ledger: Optional[Callable[[Dict[str, Any]], None]] = None
+        rn = self.round_number
         if (cfg.dp_mode in ("dp_sgd", "client_dp")
                 and self.rdp_accountant is not None):
             q, steps = self._rdp_round_params()
             self._pld_steps_taken += steps
             before = self.rdp_accountant.get_epsilon(self.privacy.delta) \
-                if self.round_number > 0 else 0.0
+                if rn > 0 else 0.0
             self.rdp_accountant.step(q, self.privacy.noise_multiplier, steps)
             total_eps = self.rdp_accountant.get_epsilon(self.privacy.delta)
             eps_spent = total_eps - before
-            self.accountant.add_mechanism(
-                "subsampled_gaussian", eps_spent, 0.0,
-                sensitivity=(round_clip if round_clip is not None
-                             else self.privacy.max_grad_norm),
-                noise_scale=float(metrics.get("dp_sigma_mean", 0.0))
-                if cfg.dp_mode == "client_dp"
-                else (self.privacy.noise_multiplier
-                      * self.privacy.max_grad_norm
-                      / cfg.training.batch_size),
-                metadata={"round": self.round_number, "mode": cfg.dp_mode,
-                          "total_epsilon": total_eps, "q": q, "steps": steps},
-            )
+
+            def ledger(m, _eps=eps_spent, _tot=total_eps, _q=q,
+                       _steps=steps, _clip=round_clip):
+                self.accountant.add_mechanism(
+                    "subsampled_gaussian", _eps, 0.0,
+                    sensitivity=(_clip if _clip is not None
+                                 else self.privacy.max_grad_norm),
+                    noise_scale=float(m.get("dp_sigma_mean", 0.0))
+                    if cfg.dp_mode == "client_dp"
+                    else (self.privacy.noise_multiplier
+                          * self.privacy.max_grad_norm
+                          / cfg.training.batch_size),
+                    metadata={"round": rn, "mode": cfg.dp_mode,
+                              "total_epsilon": _tot, "q": _q,
+                              "steps": _steps},
+                )
         elif cfg.dp_mode == "distributed":
             before = self.rdp_accountant.get_epsilon(self.privacy.delta) \
-                if self.round_number > 0 else 0.0
+                if rn > 0 else 0.0
             self.rdp_accountant.accumulate(dist_rdp)
             total_eps = self.rdp_accountant.get_epsilon(self.privacy.delta)
             eps_spent = total_eps - before
             plan = self._dist_plan
             m_real = int(np.sum(np.asarray(mask) > 0))
-            self.accountant.add_mechanism(
-                "skellam_distributed", eps_spent, 0.0,
-                sensitivity=plan.clip_norm,
-                noise_scale=plan.central_sigma_float(m_real),
-                metadata={"round": self.round_number, "mode": cfg.dp_mode,
-                          "total_epsilon": total_eps,
-                          "realized_clients": m_real,
-                          "bits": plan.bits,
-                          "mu_central": plan.mu_local * max(m_real, 0)},
-            )
+
+            def ledger(m, _eps=eps_spent, _tot=total_eps, _m=m_real):
+                plan = self._dist_plan
+                self.accountant.add_mechanism(
+                    "skellam_distributed", _eps, 0.0,
+                    sensitivity=plan.clip_norm,
+                    noise_scale=plan.central_sigma_float(_m),
+                    metadata={"round": rn, "mode": cfg.dp_mode,
+                              "total_epsilon": _tot,
+                              "realized_clients": _m,
+                              "bits": plan.bits,
+                              "mu_central": plan.mu_local * max(_m, 0)},
+                )
         elif cfg.dp_mode == "dp_ftrl":
             # the WHOLE tree is one Gaussian mechanism certified up
             # front; charge the ledger once, at round 0 — later rounds
             # release through the same already-paid-for tree
-            if self.round_number == 0:
+            if rn == 0:
                 eps_spent = self._ftrl_eps_total
                 if self.budget_tracker is not None:
                     self.budget_tracker.consume_budget(
@@ -1733,25 +1831,51 @@ class FederatedRoundEngine:
             eps_r = cfg.epsilon_per_round or self.privacy.epsilon
             del_r = cfg.delta_per_round or self.privacy.delta
             self.budget_tracker.consume_budget(eps_r, del_r,
-                                               f"round_{self.round_number}")
-            sigma = float(metrics.get("dp_sigma_mean", 0.0)) \
-                if cfg.dp_mode == "delta" else 0.0
-            self.accountant.add_mechanism(
-                "gaussian", eps_r, del_r,
-                sensitivity=self.privacy.max_grad_norm, noise_scale=sigma,
-                metadata={"round": self.round_number, "mode": cfg.dp_mode},
-            )
+                                               f"round_{rn}")
             eps_spent = eps_r
+
+            def ledger(m, _eps=eps_r, _del=del_r):
+                sigma = float(m.get("dp_sigma_mean", 0.0)) \
+                    if cfg.dp_mode == "delta" else 0.0
+                self.accountant.add_mechanism(
+                    "gaussian", _eps, _del,
+                    sensitivity=self.privacy.max_grad_norm,
+                    noise_scale=sigma,
+                    metadata={"round": rn, "mode": cfg.dp_mode},
+                )
+
+        pending = _PendingRound(
+            round_number=rn, mask=np.asarray(mask), t0=t0,
+            metrics=metrics, variables=new_global, eps_spent=eps_spent,
+            round_clip=round_clip, ledger=ledger,
+        )
+        self.round_number += 1
+        return pending
+
+    def _finalize_round(
+        self, pending: _PendingRound, evaluate: bool = True
+    ) -> RoundResult:
+        """Blocking half of a round: read back the metrics tree in ONE
+        host transfer (each separate ``float(metrics[k])`` /
+        ``np.asarray`` on a device array is its own blocking round trip
+        through the PJRT transport — ~8 RTTs/round on a remote-attached
+        TPU), then do the metrics-dependent bookkeeping."""
+        cfg = self.config
+        metrics = jax.device_get(pending.metrics)
+        if cfg.adaptive_clipping:
+            self.clip_norm = float(metrics["next_clip_norm"])
+        if pending.ledger is not None:
+            pending.ledger(metrics)
 
         test_loss = test_acc = None
         if evaluate and self._eval_fn is not None:
-            ev = self._eval_fn(self.global_variables, self.test_images,
-                               self.test_labels)
+            ev = jax.device_get(self._eval_fn(
+                pending.variables, self.test_images, self.test_labels))
             test_loss = float(ev["loss"])
             test_acc = float(ev["accuracy"])
 
         obs = RoundObservation(
-            round_number=self.round_number,
+            round_number=pending.round_number,
             accuracy=test_acc if test_acc is not None
             else float(metrics["train_accuracy"]),
             loss=test_loss if test_loss is not None
@@ -1762,16 +1886,16 @@ class FederatedRoundEngine:
         conv = self.detector.update(obs)
 
         result = RoundResult(
-            round_number=self.round_number,
+            round_number=pending.round_number,
             train_loss=float(metrics["train_loss"]),
             train_accuracy=float(metrics["train_accuracy"]),
             test_loss=test_loss,
             test_accuracy=test_acc,
             convergence_score=conv.convergence_score,
-            participating_clients=int(mask.sum()),
-            round_time_s=time.perf_counter() - t0,
-            epsilon_spent=eps_spent,
-            clip_norm=round_clip,
+            participating_clients=int(pending.mask.sum()),
+            round_time_s=time.perf_counter() - pending.t0,
+            epsilon_spent=pending.eps_spent,
+            clip_norm=pending.round_clip,
         )
         # per-client training signals for host-side policies (client
         # selection, failure scoring). Only participants' entries are
@@ -1786,7 +1910,6 @@ class FederatedRoundEngine:
             self.last_client_pre_losses = np.asarray(
                 metrics["client_pre_loss"])
         self.history.append(result)
-        self.round_number += 1
         return result
 
     def run(

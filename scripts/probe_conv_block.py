@@ -1,8 +1,17 @@
 """Probe: fused Pallas conv-stack (ops/conv_block) vs the XLA chain at
 bench shapes (C=512 clients, B=32, bf16, per-client weights).
 
-Measures the fwd-only and fwd+bwd (grad wrt weights) of the segment the
-kernel replaces: conv1(1→32)+relu+pool → conv2(32→64)+relu+pool.
+Measures the fwd-only and fwd+bwd (VALUE and grad wrt weights) of the
+segment the kernel replaces: conv1(1→32)+relu+pool → conv2(32→64)+relu+pool.
+
+NB (round-5 correction): the fwd+bwd column MUST use value_and_grad. The
+fused backward is residual-free and the loss cotangent here is a constant
+(r), so under plain jax.grad the forward Pallas kernel is DEAD CODE and
+XLA deletes it — the round-4 "fwd+bwd 28.3 ms" row measured the backward
+kernel alone, which made "bwd = 28.3 − 16.4 = 11.9 ms" (and the 1.85×
+claim built on it) an artifact. The backward kernel's true cost is
+~25.2 ms at these shapes in every context (hlo self-time, round-5
+bisection table in docs/performance.md).
 """
 
 import os
@@ -67,7 +76,9 @@ def main():
         fn = jax.jit(loss_of(stack))
         ms, cs = timeit(fn, x, w1, b1, w2, b2)
         log(f"{name} fwd-only      : {ms:8.2f} ms (compile {cs:.0f}s)")
-        gfn = jax.jit(jax.grad(loss_of(stack), argnums=(1, 2, 3, 4)))
+        # value_and_grad keeps the forward kernel LIVE (see module NB)
+        gfn = jax.jit(jax.value_and_grad(loss_of(stack),
+                                         argnums=(1, 2, 3, 4)))
         ms, cs = timeit(gfn, x, w1, b1, w2, b2)
         log(f"{name} fwd+wgrads    : {ms:8.2f} ms (compile {cs:.0f}s)")
 
@@ -85,7 +96,7 @@ def main():
     fn = jax.jit(loss_packed)
     ms, cs = timeit(fn, xp, w1p, b1p, w2p, b2p)
     log(f"pack fwd-only      : {ms:8.2f} ms (compile {cs:.0f}s)")
-    gfn = jax.jit(jax.grad(loss_packed, argnums=(1, 2, 3, 4)))
+    gfn = jax.jit(jax.value_and_grad(loss_packed, argnums=(1, 2, 3, 4)))
     ms, cs = timeit(gfn, xp, w1p, b1p, w2p, b2p)
     log(f"pack fwd+wgrads    : {ms:8.2f} ms (compile {cs:.0f}s)")
 
