@@ -159,7 +159,11 @@ def main() -> None:
     # throughput at equal accuracy on this workload.
     # BENCH_MODEL_KWARGS (JSON) toggles formulation flags for A/B runs,
     # e.g. '{"fast_stem_wgrad": true}'.
-    extra = json.loads(os.environ.get("BENCH_MODEL_KWARGS", "{}"))
+    # fused_conv_block="residual" (round 5): the packed-K fused Pallas
+    # conv segment with the pool2 routing-index residual — measured
+    # 2.39 vs 1.79 rounds/s same-session A/B (docs/performance.md).
+    extra = json.loads(os.environ.get(
+        "BENCH_MODEL_KWARGS", '{"fused_conv_block": "residual"}'))
     model = create_model("simple_cnn", dtype=jnp.bfloat16, **extra)
     cfg = RoundEngineConfig(
         training=FederatedTrainingConfig(

@@ -12,6 +12,8 @@ tuning.
 
 from __future__ import annotations
 
+from typing import Any
+
 import flax.linen as nn
 import jax.numpy as jnp
 
@@ -82,7 +84,12 @@ class SimpleCNN(nn.Module):
     # Same parameter tree; pool tie-breaking bit-identical. Takes
     # precedence over the other conv formulation flags. Incompatible with
     # the ghost-DP activation taps (dp_capture/dp_perturb).
-    fused_conv_block: bool = False
+    # Round-5: the value "residual" selects conv_stack_res — same
+    # f32-accumulated math with the taps packed into GEMM K (±1 bf16 ulp
+    # vs conv_stack); the forward stores the compact pool2 routing index
+    # so the backward skips the conv2 recompute and the full-plane
+    # tie-break algebra (docs/performance.md round-5 kernel table).
+    fused_conv_block: Any = False
 
     DP_LAYERS = (("conv1", "conv3x3"), ("conv2", "conv3x3"),
                  ("fc1", "dense"), ("fc2", "dense"))
@@ -97,13 +104,15 @@ class SimpleCNN(nn.Module):
                 "activation taps (dp_capture/dp_perturb); build the model "
                 "with fused_conv_block=False for dp_sgd ghost mode")
         if self.fused_conv_block:
-            from fl_tpu.ops.conv_block import conv_stack
+            from fl_tpu.ops.conv_block import conv_stack, conv_stack_res
 
+            op = (conv_stack_res if self.fused_conv_block == "residual"
+                  else conv_stack)
             w1, b1 = _ConvParams((3, 3, 1, 32), name="conv1")()
             w2, b2 = _ConvParams((3, 3, 32, 64), name="conv2")()
             x = x.astype(self.dtype)
-            x = conv_stack(x, w1.astype(self.dtype), b1.astype(self.dtype),
-                           w2.astype(self.dtype), b2.astype(self.dtype))
+            x = op(x, w1.astype(self.dtype), b1.astype(self.dtype),
+                   w2.astype(self.dtype), b2.astype(self.dtype))
             x = x.reshape((x.shape[0], -1))  # (B, 7*7*64)
             x = nn.Dense(128, dtype=self.dtype, name="fc1")(x)
             x = nn.relu(x)

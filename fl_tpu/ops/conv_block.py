@@ -131,9 +131,106 @@ def _xs_to_halo(ref, xs, Bc, H, Wp):
     return ref[:]
 
 
+def _preshift3(src):
+    """Materialize the three dw-shifted views of a halo buffer ONCE.
+
+    Every tap slice ``src[dh·Wp + dw : … + M]`` with dw ∈ {1, 2} is
+    sublane-misaligned, and Mosaic lowers each such slice to a full-data
+    rotate — the round-5 probes measured these rotates, not the GEMMs or
+    the mask algebra, as the kernels' dominant cost (docs/performance.md
+    round-5 kernel table). Pre-rotating one copy per dw makes all nine
+    tap reads aligned (dh·Wp is a multiple of 8 for Wp = 16): one rotate
+    per (buffer, dw) instead of one per (tap, consumer)."""
+    return (src, _up(src, 1), _up(src, 2))
+
+
+def _cat_patches_into(ref, srcs, Wp, M, ci):
+    """Write the (M, 9·ci) im2col patch plane into a VMEM scratch from
+    the three pre-shifted halo copies (column block k = tap k). A plain
+    lane-axis jnp.concatenate of the nine slices does NOT lower (Mosaic:
+    "result/input offset mismatch on non-concat dimension" — the parts
+    carry different row offsets); routing through a scratch ref
+    materializes each part at offset 0."""
+    for k in range(9):
+        dh, dw = divmod(k, 3)
+        ref[:, k * ci:(k + 1) * ci] = srcs[dw][dh * Wp:dh * Wp + M, :]
+    return ref[:]
+
+
+def _stem_patches(x_img, Hp, Wp, cdt):
+    """(B, 2H, 2W, P) images → (B·Hp·Wp, 36P) halo-padded s2d im2col
+    patches, built XLA-SIDE. Tap k's columns are the s2d lattice view
+    shifted by (dh−1, dw−1), zero outside — bit-equal to the kernels'
+    halo-slice reads on every valid row (wraparound rows differ only
+    where the kernels' valid masks already zero the contribution, and
+    carry clean zeros here). Moving the stem's im2col out of the kernel
+    turns its nine K=4P tap GEMMs (each paying the full 128-wide MXU)
+    into ONE K=36P GEMM: 9× fewer effective MXU passes for S=8."""
+    B, H2, W2, P = x_img.shape
+    H, W = H2 // 2, W2 // 2
+    xs = _collapse_s2d(x_img.astype(cdt)).reshape(B, H, W, 4 * P)
+    t = jnp.pad(xs, ((0, 0), (1, Hp - H + 1), (1, Wp - W + 1), (0, 0)))
+    views = [t[:, dh:dh + Hp, dw:dw + Wp, :]
+             for dh in range(3) for dw in range(3)]
+    return jnp.concatenate(views, axis=-1).reshape(B * Hp * Wp, 36 * P)
+
+
+def _cat_patches(srcs, Wp, M):
+    """(M, 9·C) im2col patch plane from the three pre-shifted halo copies
+    — columns ordered (tap k, channel c), matching the (9·ci, co) weight
+    layout. Round-5 rationale: a (M, ci≤64) tap GEMM pays the FULL
+    128-wide systolic array regardless of K, so nine accumulated tap
+    GEMMs cost ~9×/2× their real FLOPs in effective MXU passes (the
+    round-5 probes measured the kernels MXU-bound at exactly that
+    inflation: plane-op and slicing changes moved nothing). One GEMM
+    with the taps packed into K collapses the padding waste: K=72→128
+    for the stem (9×), K=576 for conv2 (2×). The lane-axis concat is a
+    VMEM write of the patch plane (~2.4 GB/step at bench shapes, ~1 ms
+    — far below the MXU passes it deletes)."""
+    parts = []
+    for k in range(9):
+        dh, dw = divmod(k, 3)
+        parts.append(srcs[dw][dh * Wp:dh * Wp + M, :])
+    return jnp.concatenate(parts, axis=1)
+
+
+def _conv_taps_pre(srcs, Wp, w_ref, ci, M, rev=False):
+    """Σ_k src[s_k : s_k+M] @ w[k·ci:(k+1)·ci] over pre-shifted sources —
+    implicit-GEMM conv as 9 accumulated MXU calls on ALIGNED slices.
+    ``rev=True`` computes the flipped-tap (dgrad) orientation
+    src[smax − s_k : …+M] via copy 2−dw at aligned base (2−dh)·Wp."""
+    acc = None
+    for k in range(9):
+        dh, dw = divmod(k, 3)
+        if rev:
+            start, src = (2 - dh) * Wp, srcs[2 - dw]
+        else:
+            start, src = dh * Wp, srcs[dw]
+        part = jnp.dot(src[start:start + M, :],
+                       w_ref[k * ci:(k + 1) * ci, :],
+                       preferred_element_type=jnp.float32)
+        acc = part if acc is None else acc + part
+    return acc
+
+
+def _wgrad_taps_pre(srcs, Wp, dz, ci, M):
+    """Concatenated per-tap weight gradients over pre-shifted sources:
+    rows k·ci:(k+1)·ci are src[s_k : …+M]^T @ dz — K = M on the MXU,
+    aligned slices only (see _preshift3)."""
+    parts = []
+    for k in range(9):
+        dh, dw = divmod(k, 3)
+        parts.append(jax.lax.dot_general(
+            srcs[dw][dh * Wp:dh * Wp + M, :], dz, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32))
+    return jnp.concatenate(parts, axis=0)
+
+
 def _conv_taps(src, shifts, w_ref, ci, M, base=0):
     """Σ_k src[base + s_k : …+M] @ w[k·ci:(k+1)·ci] — implicit-GEMM conv
-    as 9 accumulated MXU calls on shifted slices of the halo buffer."""
+    as 9 accumulated MXU calls on shifted slices of the halo buffer.
+    (Misaligned-slice variant; the kernels use _conv_taps_pre — kept for
+    the halo-offset cases the aligned form does not cover.)"""
     acc = None
     for k, s in enumerate(shifts):
         part = jnp.dot(src[base + s:base + s + M, :],
@@ -213,8 +310,8 @@ def _fwd_kernel(dims, xs_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     S = xs_ref.shape[-1]  # s2d input channels: 4 per packed client
 
     # --- stem: conv1 in s2d form + relu + group-max (= maxpool1) ---------
-    xsh = _xs_to_halo(xs_halo, xs_ref[:], Bc, H, Wp)   # (M+smax, S)
-    y1 = _conv_taps(xsh, shifts, w1_ref, S, M) + b1_ref[:]
+    xs3 = _preshift3(_xs_to_halo(xs_halo, xs_ref[:], Bc, H, Wp))
+    y1 = _conv_taps_pre(xs3, Wp, w1_ref, S, M) + b1_ref[:]
     # relu + cast to the compute dtype BEFORE the parity max, matching the
     # standard chain (a1 is a bf16 activation there, pooled in bf16)
     y1 = jnp.maximum(y1, 0.0).astype(cdt)              # (M, 4*C1)
@@ -227,8 +324,8 @@ def _fwd_kernel(dims, xs_ref, w1_ref, b1_ref, w2_ref, b2_ref,
 
     # --- conv2 + bias + relu ---------------------------------------------
     # conv-output row r reads x2 rows r + s_k − (Wp+1); halo offset Wp+1
-    x2h = _halo(x2_halo, x2, Wp + 1, M)                # (M+smax', C1)
-    y2 = _conv_taps(x2h, shifts, w2_ref, C1, M) + b2_ref[:]
+    x23 = _preshift3(_halo(x2_halo, x2, Wp + 1, M))    # (M+smax', C1) x3
+    y2 = _conv_taps_pre(x23, Wp, w2_ref, C1, M) + b2_ref[:]
     a2 = jnp.maximum(y2, 0.0).astype(cdt)              # (M, C2)
 
     # --- maxpool2 over the valid H×W region ------------------------------
@@ -269,16 +366,16 @@ def _bwd_kernel(dims, g_ref, xs_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     # of activations through HBM. Casts match the forward's exactly, so
     # the pool/relu masks are bit-identical to the fwd's tie-breaks.
     S = xs_ref.shape[-1]
-    xsh = _xs_to_halo(xs_halo, xs_ref[:], Bc, H, Wp)
-    y1 = _conv_taps(xsh, shifts, w1_ref, S, M) + b1_ref[:]
+    xs3 = _preshift3(_xs_to_halo(xs_halo, xs_ref[:], Bc, H, Wp))
+    y1 = _conv_taps_pre(xs3, Wp, w1_ref, S, M) + b1_ref[:]
     y1 = jnp.maximum(y1, 0.0).astype(cdt)  # same cast point as forward
     x2 = jnp.maximum(
         jnp.maximum(y1[:, 0 * C1:1 * C1], y1[:, 1 * C1:2 * C1]),
         jnp.maximum(y1[:, 2 * C1:3 * C1], y1[:, 3 * C1:4 * C1]))
     validc = _row_valid_mask(M, Bc, Hp, Wp, H, W).astype(cdt)
     x2 = x2 * validc                                   # (M, C1)
-    x2h = _halo(x2_halo, x2, Wp + 1, M)                # reused by wgrad
-    y2 = _conv_taps(x2h, shifts, w2_ref, C1, M) + b2_ref[:]
+    x23 = _preshift3(_halo(x2_halo, x2, Wp + 1, M))    # reused by wgrad
+    y2 = _conv_taps_pre(x23, Wp, w2_ref, C1, M) + b2_ref[:]
     a2 = jnp.maximum(y2, 0.0).astype(cdt).astype(f32)  # fwd's exact a2
     # g arrives COMPACT (Bc·Hp/2·Wp/2 rows); upsample to the full lattice
     g_at = _upsample2x2(g_ref[:].astype(f32), Bc, Hp, Wp)
@@ -318,14 +415,14 @@ def _bwd_kernel(dims, g_ref, xs_ref, w1_ref, b1_ref, w2_ref, b2_ref,
 
     # --- conv2 wgrad: per-tap x2ᵀ @ dz2 (K = M on the MXU) ----------------
     dz2c = dz2.astype(cdt)
-    dw2 = _wgrad_taps(x2h, shifts, dz2c, C1, M)        # (9*C1, C2)
+    dw2 = _wgrad_taps_pre(x23, Wp, dz2c, C1, M)        # (9*C1, C2)
 
     # --- conv2 dgrad: tap-accumulated dz2 @ w2_flipped --------------------
     # dx2[r] = Σ_k dz2[r − s_k + Wp+1] @ w2[k]ᵀ; with dz2 at halo offset
-    # smax − (Wp+1), slice k starts at smax − s_k
-    dzh = _halo(dz_halo, dz2c, smax - Wp - 1, M)
-    dx2 = _conv_taps(dzh, tuple(smax - s for s in shifts),
-                     w2f_ref, C2, M)               # (M, C1) f32
+    # smax − (Wp+1), tap k reads smax − s_k — the rev=True aligned form
+    dz3 = _preshift3(_halo(dz_halo, dz2c, smax - Wp - 1, M))
+    dx2 = _conv_taps_pre(dz3, Wp, w2f_ref, C2, M,
+                         rev=True)                 # (M, C1) f32
     valid = _row_valid_mask(M, Bc, Hp, Wp, H, W)
     dx2 = dx2 * valid                                  # kill wraparound rows
 
@@ -341,7 +438,7 @@ def _bwd_kernel(dims, g_ref, xs_ref, w1_ref, b1_ref, w2_ref, b2_ref,
         [dx2 * f0 * _pos(g0), dx2 * f1 * _pos(g1),
          dx2 * f2 * _pos(g2), dx2 * f3 * _pos(g3)], axis=1)  # (M, 4*C1) f32
     db1 = jnp.sum(dz1, axis=0, keepdims=True)
-    dw1 = _wgrad_taps(xsh, shifts, dz1.astype(cdt), S, M)  # (9S, 4*C1)
+    dw1 = _wgrad_taps_pre(xs3, Wp, dz1.astype(cdt), S, M)  # (9S, 4*C1)
 
     # --- accumulate across batch chunks ----------------------------------
     @pl.when(first)
@@ -533,23 +630,25 @@ def _bwd_call_impl(g, x_img, w1s, b1s, w2m, b2m):
 # routing needs y1 anyway, and x2 (conv2 wgrad's input) falls out of it
 # for free.
 
-def _fwd_kernel_res(dims, xs_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-                    pooled_ref, idx_ref, xs_halo, x2_halo):
+def _fwd_kernel_res(dims, xsp_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                    pooled_ref, idx_ref, x2_halo, x2p_scr):
     Bc, H, W, C1, C2, Hp, Wp, shifts, smax = dims
     M = Bc * Hp * Wp
-    cdt = xs_ref.dtype
-    S = xs_ref.shape[-1]
+    cdt = xsp_ref.dtype
 
-    xsh = _xs_to_halo(xs_halo, xs_ref[:], Bc, H, Wp)
-    y1 = _conv_taps(xsh, shifts, w1_ref, S, M) + b1_ref[:]
+    # stem: ONE K=9S GEMM over the XLA-built im2col patches
+    y1 = jnp.dot(xsp_ref[:], w1_ref[:],
+                 preferred_element_type=jnp.float32) + b1_ref[:]
     y1 = jnp.maximum(y1, 0.0).astype(cdt)
     x2 = jnp.maximum(
         jnp.maximum(y1[:, 0 * C1:1 * C1], y1[:, 1 * C1:2 * C1]),
         jnp.maximum(y1[:, 2 * C1:3 * C1], y1[:, 3 * C1:4 * C1]))
     valid = _row_valid_mask(M, Bc, Hp, Wp, H, W)
     x2 = x2 * valid.astype(cdt)
-    x2h = _halo(x2_halo, x2, Wp + 1, M)
-    y2 = _conv_taps(x2h, shifts, w2_ref, C1, M) + b2_ref[:]
+    x2p = _cat_patches_into(
+        x2p_scr, _preshift3(_halo(x2_halo, x2, Wp + 1, M)), Wp, M, C1)
+    y2 = jnp.dot(x2p, w2_ref[:],
+                 preferred_element_type=jnp.float32) + b2_ref[:]
     a2 = jnp.maximum(y2, 0.0).astype(cdt)
 
     # maxpool2 + first-match argmax on the four parity sub-lattices:
@@ -571,29 +670,29 @@ def _fwd_kernel_res(dims, xs_ref, w1_ref, b1_ref, w2_ref, b2_ref,
         Bc, Hp // 2, Wp // 2, C2)[:, :Ho, :Wo, :]
 
 
-def _bwd_kernel_res(dims, g_ref, idx_ref, xs_ref, w1_ref, b1_ref,
+def _bwd_kernel_res(dims, g_ref, idx_ref, xsp_ref, w1_ref, b1_ref,
                     w2f_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
-                    xs_halo, x2_halo, dz_halo):
+                    x2_halo, dz_halo, x2p_scr):
     """Backward with the stored pool2 routing index: no conv2 forward
     recompute, no full-plane tie-break algebra. g arrives already
     multiplied by relu2' (= pooled > 0) — see conv_stack_res."""
     Bc, H, W, C1, C2, Hp, Wp, shifts, smax = dims
     M = Bc * Hp * Wp
     f32 = jnp.float32
-    cdt = xs_ref.dtype
+    cdt = xsp_ref.dtype
     first = pl.program_id(0) == 0
 
     # --- stem recompute (needed for pool1 routing; x2 falls out) --------
-    S = xs_ref.shape[-1]
-    xsh = _xs_to_halo(xs_halo, xs_ref[:], Bc, H, Wp)
-    y1 = _conv_taps(xsh, shifts, w1_ref, S, M) + b1_ref[:]
+    y1 = jnp.dot(xsp_ref[:], w1_ref[:],
+                 preferred_element_type=jnp.float32) + b1_ref[:]
     y1 = jnp.maximum(y1, 0.0).astype(cdt)
     x2 = jnp.maximum(
         jnp.maximum(y1[:, 0 * C1:1 * C1], y1[:, 1 * C1:2 * C1]),
         jnp.maximum(y1[:, 2 * C1:3 * C1], y1[:, 3 * C1:4 * C1]))
     valid = _row_valid_mask(M, Bc, Hp, Wp, H, W)
     x2 = x2 * valid.astype(cdt)
-    x2h = _halo(x2_halo, x2, Wp + 1, M)
+    x2p = _cat_patches_into(
+        x2p_scr, _preshift3(_halo(x2_halo, x2, Wp + 1, M)), Wp, M, C1)
 
     # --- pool2 backward: route by the stored first-match index ----------
     g_at = _upsample2x2(g_ref[:].astype(f32), Bc, Hp, Wp)
@@ -607,10 +706,10 @@ def _bwd_kernel_res(dims, g_ref, idx_ref, xs_ref, w1_ref, b1_ref,
 
     # --- conv2 wgrad / dgrad (same as the residual-free kernel) ---------
     dz2c = dz2.astype(cdt)
-    dw2 = _wgrad_taps(x2h, shifts, dz2c, C1, M)
-    dzh = _halo(dz_halo, dz2c, smax - Wp - 1, M)
-    dx2 = _conv_taps(dzh, tuple(smax - s for s in shifts),
-                     w2f_ref, C2, M)
+    dw2 = jax.lax.dot_general(x2p, dz2c, (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    dz3 = _preshift3(_halo(dz_halo, dz2c, smax - Wp - 1, M))
+    dx2 = _conv_taps_pre(dz3, Wp, w2f_ref, C2, M, rev=True)
     dx2 = dx2 * valid
 
     # --- stem backward: route by group argmax of the recomputed y1 ------
@@ -625,7 +724,9 @@ def _bwd_kernel_res(dims, g_ref, idx_ref, xs_ref, w1_ref, b1_ref,
         [dx2 * f0 * _pos_mask(g0), dx2 * f1 * _pos_mask(g1),
          dx2 * f2 * _pos_mask(g2), dx2 * f3 * _pos_mask(g3)], axis=1)
     db1 = jnp.sum(dz1, axis=0, keepdims=True)
-    dw1 = _wgrad_taps(xsh, shifts, dz1.astype(cdt), S, M)
+    dw1 = jax.lax.dot_general(xsp_ref[:], dz1.astype(cdt),
+                              (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
 
     @pl.when(first)
     def _():
@@ -658,14 +759,14 @@ def _fwd_call_impl_res(x_img, w1s, b1s, w2m, b2m):
     Ho, Wo = H // 2, W // 2
     dims = (Bc, H, W, C1, C2, Hp, Wp, shifts, smax)
 
-    xs = _collapse_s2d(x_img.astype(cdt))
-    S = xs.shape[-1]
+    xsp = _stem_patches(x_img, Hp, Wp, cdt)            # (B*Hp*Wp, 9S)
+    S = xsp.shape[-1] // 9
     kern = functools.partial(_fwd_kernel_res, dims)
     pooled, idx = pl.pallas_call(
         kern,
         grid=(nc,),
         in_specs=[
-            pl.BlockSpec((Bc * H * W, S), lambda j: (j, 0),
+            pl.BlockSpec((M, 9 * S), lambda j: (j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((9 * S, 4 * C1), lambda j: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -686,10 +787,10 @@ def _fwd_call_impl_res(x_img, w1s, b1s, w2m, b2m):
             jax.ShapeDtypeStruct((B, Ho, Wo, C2), cdt),
             jax.ShapeDtypeStruct((B * (Hp // 2) * (Wp // 2), C2), cdt),
         ),
-        scratch_shapes=[pltpu.VMEM((M + smax, S), cdt),
-                        pltpu.VMEM((M + smax, C1), cdt)],
+        scratch_shapes=[pltpu.VMEM((M + smax, C1), cdt),
+                        pltpu.VMEM((M, 9 * C1), cdt)],
         interpret=_interpret(),
-    )(xs, w1s.astype(cdt), b1s.astype(jnp.float32).reshape(1, -1),
+    )(xsp, w1s.astype(cdt), b1s.astype(jnp.float32).reshape(1, -1),
       w2m.astype(cdt), b2m.astype(jnp.float32).reshape(1, -1))
     return pooled, idx
 
@@ -709,8 +810,8 @@ def _bwd_call_impl_res(g, idx, x_img, w1s, b1s, w2m):
     M = Bc * Hp * Wp
     dims = (Bc, H, W, C1, C2, Hp, Wp, shifts, smax)
 
-    xs = _collapse_s2d(x_img.astype(cdt))
-    S = xs.shape[-1]
+    xsp = _stem_patches(x_img, Hp, Wp, cdt)            # (B*Hp*Wp, 9S)
+    S = xsp.shape[-1] // 9
     w2f = (w2m.reshape(9, C1, C2).transpose(0, 2, 1)
            .reshape(9 * C2, C1).astype(cdt))
     R = Bc * (Hp // 2) * (Wp // 2)
@@ -723,7 +824,7 @@ def _bwd_call_impl_res(g, idx, x_img, w1s, b1s, w2m):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((R, C2), lambda j: (j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((Bc * H * W, S), lambda j: (j, 0),
+            pl.BlockSpec((M, 9 * S), lambda j: (j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((9 * S, 4 * C1), lambda j: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -748,11 +849,11 @@ def _bwd_call_impl_res(g, idx, x_img, w1s, b1s, w2m):
             jax.ShapeDtypeStruct((9 * C1, C2), jnp.float32),
             jax.ShapeDtypeStruct((1, C2), jnp.float32),
         ),
-        scratch_shapes=[pltpu.VMEM((M + smax, S), cdt),
-                        pltpu.VMEM((M + smax, C1), cdt),
-                        pltpu.VMEM((M + smax, C2), cdt)],
+        scratch_shapes=[pltpu.VMEM((M + smax, C1), cdt),
+                        pltpu.VMEM((M + smax, C2), cdt),
+                        pltpu.VMEM((M, 9 * C1), cdt)],
         interpret=_interpret(),
-    )(_compact_pool_cotangent(g.astype(cdt), Hp, Wp), idx, xs,
+    )(_compact_pool_cotangent(g.astype(cdt), Hp, Wp), idx, xsp,
       w1s.astype(cdt), b1s.astype(jnp.float32).reshape(1, -1), w2f)
     return dw1, db1.reshape(-1), dw2, db2.reshape(-1)
 
@@ -1001,12 +1102,18 @@ def conv_stack_res(x_img: jax.Array, w1: jax.Array, b1: jax.Array,
                    w2: jax.Array, b2: jax.Array) -> jax.Array:
     """conv_stack with a stored pool2 routing-index residual (round-5).
 
-    Bit-identical outputs and gradients to conv_stack (same kernels'
-    compute chain, same first-match tie-break — tests/test_conv_block.py);
-    the backward consumes the fwd's compact window index instead of
-    recomputing conv2 and running the full-plane routing algebra, and
-    relu2' is applied to the cotangent OUTSIDE the kernel as
-    g * (pooled > 0) — the routed window position holds a2 == pooled
+    Numerically equivalent to conv_stack — same f32-accumulated math and
+    the same first-match pool tie-break, but the convolutions pack the
+    nine taps into the GEMM K dimension (stem im2col built XLA-side;
+    conv2 patches in VMEM), so f32 accumulation ORDER differs: outputs
+    can differ from conv_stack by a bf16 ulp (tests pin near-equality
+    and exact self-consistency). Why: a (M, ci≤64) tap GEMM pays the
+    full 128-wide MXU regardless of K — nine accumulated taps cost
+    ~9×/2× their real FLOPs; packed-K collapses that (docs/performance.md
+    round-5 kernel table). The backward consumes the fwd's compact
+    window index instead of recomputing conv2 and the full-plane routing
+    algebra, and relu2' is applied to the cotangent OUTSIDE the kernel
+    as g * (pooled > 0) — the routed window position holds a2 == pooled
     exactly. VJP returns zero image gradient like conv_stack."""
     w1s, b1s = lift_stem(w1, b1)
     pooled, _ = _fwd_call_res(x_img, w1s, b1s,

@@ -37,6 +37,13 @@ def main() -> int:
                    choices=["auto", "ghost", "microbatch"],
                    help="DP-SGD implementation (ghost-norm two-pass vs "
                         "per-example microbatch; see fl_tpu.fl.privacy)")
+    p.add_argument("--holdout", type=int, default=0,
+                   help="hold out the LAST N train examples as a "
+                        "selection-free eval set (round-5 protocol: the "
+                        "fixture's test set was consumed by round-4 config "
+                        "selection, so the pre-registered config is "
+                        "re-scored on digits that played no role in "
+                        "choosing it; deterministic slice, no shuffling)")
     p.add_argument("--accountant", default="pld", choices=["pld", "rdp"],
                    help="noise calibration + final certification: the PLD "
                         "accountant (fl_tpu.fl.pld) certifies the same "
@@ -72,9 +79,22 @@ def main() -> int:
 
     splits = load_dataset(
         "mnist",
-        n_train_synth=args.clients * args.samples_per_client,
+        n_train_synth=args.clients * args.samples_per_client
+        + max(args.holdout, 0),
         n_test_synth=4096,
     )
+    holdout = None
+    if args.holdout > 0:
+        import dataclasses as _dc
+
+        holdout = (splits.train_images[-args.holdout:],
+                   splits.train_labels[-args.holdout:])
+        splits = _dc.replace(
+            splits,
+            train_images=splits.train_images[:-args.holdout],
+            train_labels=splits.train_labels[:-args.holdout])
+        print(f"holdout: {args.holdout} train examples withheld "
+              f"({splits.train_images.shape[0]} remain for training)")
     arrays = make_federated_arrays(
         splits, num_clients=args.clients, strategy="iid",
         samples_per_client=args.samples_per_client, seed=0,
@@ -123,6 +143,14 @@ def main() -> int:
         print(f"\nFINAL accuracy={final:.4f} at eps={eps:.4f} "
               f"(target {args.target} @ {args.epsilon}) "
               f"wall={time.time() - t0:.0f}s")
+    if holdout is not None:
+        from fl_tpu.fl.local_training import evaluate_test_set, make_eval_fn
+
+        hacc = evaluate_test_set(
+            make_eval_fn(engine.model), engine.global_variables,
+            holdout[0], holdout[1], splits.mean, splits.std)["accuracy"]
+        print(f"HOLDOUT accuracy={hacc:.4f} on {args.holdout} "
+              "digits never used for config selection or training")
     ok = final >= args.target and eps <= args.epsilon + 1e-6
     print("PASS" if ok else "FAIL")
     return 0 if ok else 1
