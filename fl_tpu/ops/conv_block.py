@@ -475,6 +475,10 @@ def _pick_bc(B: int, dtype, bwd: bool = False, pack: int = 1) -> int:
     # compute halves the targets (doubled temp widths).
     target = (4 if bwd else 8) if jnp.dtype(dtype).itemsize <= 2 else \
         (2 if bwd else 4)
+    if pack >= 4:
+        # P=4 doubles every plane's lane width; halve the chunk to keep
+        # the same VMEM footprint per cell
+        target = max(target // 2, 1)
     ov = _os.environ.get("CONV_BLOCK_BC_BWD" if bwd else "CONV_BLOCK_BC_FWD")
     if ov:
         target = int(ov)
@@ -885,28 +889,49 @@ def _bcast_unbatched(axis_size, in_batched, args):
         for a, b in zip(args, in_batched))
 
 
-def _pair_lifted(x_img, w1s, b1s, w2m, b2m):
-    """Pair consecutive clients of lifted per-client args into the
+def _pack_width(axis_size, x_img):
+    """Clients packed per kernel instance: 2 when the axis allows, else 0
+    (per-client fallback). P=4 was MEASURED WORSE at bench shapes (32.2
+    vs 29.2 ms segment fwd+bwd): filling the 128 lanes for x2/dx2 and
+    the dgrad's N dimension does not pay for the 4× block-diagonal MAC
+    waste on the now-larger packed GEMMs plus the halved batch chunks —
+    round-5 table in docs/performance.md. FL_CONV_PACK=2|4 overrides
+    for A/B probes."""
+    import os as _os
+
+    if x_img.shape[-1] != 1:
+        return 0
+    want = int(_os.environ.get("FL_CONV_PACK", "2"))
+    for P in (want, 4, 2):
+        if P in (2, 4) and axis_size % P == 0:
+            return P
+    return 0
+
+
+def _pair_lifted(x_img, w1s, b1s, w2m, b2m, P=2):
+    """Group P consecutive clients of lifted per-client args into the
     channel-packed forms (client-inner on rows/channels, group-outer on
     stem columns — the layout the kernels' slices assume)."""
     C = x_img.shape[0]
-    n = C // 2
+    n = C // P
     C1 = w1s.shape[-1] // 4
     C2 = w2m.shape[-1]
     xp = jnp.moveaxis(
-        x_img.reshape((n, 2) + x_img.shape[1:])[..., 0], 1, -1)
-    t1 = w1s.reshape(n, 2, 9, 4, 4, C1)
+        x_img.reshape((n, P) + x_img.shape[1:])[..., 0], 1, -1)
+    t1 = w1s.reshape(n, P, 9, 4, 4, C1)
     w1p = jnp.einsum("npkigo,pq->nkpigqo", t1,
-                     jnp.eye(2, dtype=w1s.dtype)).reshape(n, 72, 8 * C1)
-    b1p = b1s.reshape(n, 2, 4, C1).transpose(0, 2, 1, 3).reshape(n, 8 * C1)
+                     jnp.eye(P, dtype=w1s.dtype)) \
+        .reshape(n, 36 * P, 4 * P * C1)
+    b1p = b1s.reshape(n, P, 4, C1).transpose(0, 2, 1, 3) \
+        .reshape(n, 4 * P * C1)
     # NB: the pack must preserve w2m's dtype exactly — the kernels take
     # their compute dtype from it (an f32 eye here silently promoted the
     # whole segment to f32 and broke the bf16 model's fc1 dtype chain)
-    t2 = w2m.reshape(n, 2, 9, C1, C2)
+    t2 = w2m.reshape(n, P, 9, C1, C2)
     w2p = jnp.einsum("npkio,pq->nkpiqo", t2,
-                     jnp.eye(2, dtype=w2m.dtype)) \
-        .reshape(n, 18 * C1, 2 * C2)
-    b2p = b2m.reshape(n, 2 * C2)
+                     jnp.eye(P, dtype=w2m.dtype)) \
+        .reshape(n, 9 * P * C1, P * C2)
+    b2p = b2m.reshape(n, P * C2)
     return xp, w1p, b1p, w2p, b2p, n, C1, C2
 
 
@@ -961,17 +986,18 @@ _fwd_call_res = custom_vmap(_fwd_call_impl_res)
 def _fwd_res_vmap_rule(axis_size, in_batched, x_img, w1s, b1s, w2m, b2m):
     x_img, w1s, b1s, w2m, b2m = _bcast_unbatched(
         axis_size, in_batched, (x_img, w1s, b1s, w2m, b2m))
-    if axis_size % 2 or x_img.shape[-1] != 1:
+    P = _pack_width(axis_size, x_img)
+    if not P:
         outs = jax.vmap(_fwd_call_impl_res)(x_img, w1s, b1s, w2m, b2m)
         return outs, (True, True)
     xp, w1p, b1p, w2p, b2p, n, C1, C2 = _pair_lifted(
-        x_img, w1s, b1s, w2m, b2m)
+        x_img, w1s, b1s, w2m, b2m, P)
     pooled, idx = jax.vmap(_fwd_call_impl_res)(xp, w1p, b1p, w2p, b2p)
     B, Ho, Wo = pooled.shape[1:4]
-    out = pooled.reshape(n, B, Ho, Wo, 2, C2)
+    out = pooled.reshape(n, B, Ho, Wo, P, C2)
     out = jnp.moveaxis(out, 4, 1).reshape(axis_size, B, Ho, Wo, C2)
     R = idx.shape[1]
-    idx = jnp.moveaxis(idx.reshape(n, R, 2, C2), 2, 1) \
+    idx = jnp.moveaxis(idx.reshape(n, R, P, C2), 2, 1) \
         .reshape(axis_size, R, C2)
     return (out, idx), (True, True)
 
@@ -983,28 +1009,29 @@ _bwd_call_res = custom_vmap(_bwd_call_impl_res)
 def _bwd_res_vmap_rule(axis_size, in_batched, g, idx, x_img, w1s, b1s, w2m):
     g, idx, x_img, w1s, b1s, w2m = _bcast_unbatched(
         axis_size, in_batched, (g, idx, x_img, w1s, b1s, w2m))
-    if axis_size % 2 or x_img.shape[-1] != 1:
+    P = _pack_width(axis_size, x_img)
+    if not P:
         outs = jax.vmap(_bwd_call_impl_res)(g, idx, x_img, w1s, b1s, w2m)
         return outs, (True, True, True, True)
     C2 = w2m.shape[-1]
     xp, w1p, b1p, w2p, _unused_b2p, n, C1, C2 = _pair_lifted(
-        x_img, w1s, b1s, w2m, jnp.zeros((axis_size, C2), w2m.dtype))
+        x_img, w1s, b1s, w2m, jnp.zeros((axis_size, C2), w2m.dtype), P)
     B, Ho, Wo = g.shape[1:4]
-    gp = jnp.moveaxis(g.reshape(n, 2, B, Ho, Wo, C2), 1, 4) \
-        .reshape(n, B, Ho, Wo, 2 * C2)
+    gp = jnp.moveaxis(g.reshape(n, P, B, Ho, Wo, C2), 1, 4) \
+        .reshape(n, B, Ho, Wo, P * C2)
     R = idx.shape[1]
-    idxp = jnp.moveaxis(idx.reshape(n, 2, R, C2), 1, 2) \
-        .reshape(n, R, 2 * C2)
+    idxp = jnp.moveaxis(idx.reshape(n, P, R, C2), 1, 2) \
+        .reshape(n, R, P * C2)
     dw1p, db1p, dw2p, db2p = jax.vmap(_bwd_call_impl_res)(
         gp, idxp, xp, w1p, b1p, w2p)
-    eye = jnp.eye(2, dtype=dw1p.dtype)
+    eye = jnp.eye(P, dtype=dw1p.dtype)
     dw1 = jnp.einsum("nkpigqo,pq->npkigo",
-                     dw1p.reshape(n, 9, 2, 4, 4, 2, C1), eye) \
+                     dw1p.reshape(n, 9, P, 4, 4, P, C1), eye) \
         .reshape(axis_size, 36, 4 * C1)
-    db1 = db1p.reshape(n, 4, 2, C1).transpose(0, 2, 1, 3) \
+    db1 = db1p.reshape(n, 4, P, C1).transpose(0, 2, 1, 3) \
         .reshape(axis_size, 4 * C1)
     dw2 = jnp.einsum("nkpiqo,pq->npkio",
-                     dw2p.reshape(n, 9, 2, C1, 2, C2), eye) \
+                     dw2p.reshape(n, 9, P, C1, P, C2), eye) \
         .reshape(axis_size, 9 * C1, C2)
     db2 = db2p.reshape(axis_size, C2)
     return (dw1, db1, dw2, db2), (True, True, True, True)
