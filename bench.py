@@ -203,7 +203,11 @@ def main() -> None:
     # accounting, convergence bookkeeping) with device compute — same
     # per-round program and semantics as a run_round loop.
     t0 = time.perf_counter()
-    engine.run_rounds_pipelined(args.rounds, evaluate=False)
+    if os.environ.get("BENCH_NO_PIPELINE") == "1":  # A/B diagnostics
+        for _ in range(args.rounds):
+            engine.run_round(evaluate=False)
+    else:
+        engine.run_rounds_pipelined(args.rounds, evaluate=False)
     # the last round's finalize blocks on its metrics readback, so timing
     # is sync'd
     dt = time.perf_counter() - t0
