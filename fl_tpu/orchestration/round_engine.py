@@ -1546,7 +1546,11 @@ class FederatedRoundEngine:
         round is enqueued — EXCEPT that host state feeding the next
         dispatch cannot come from the previous round's metrics, so
         adaptive_clipping refuses this path (its clip norm is a
-        metrics-derived host carry)."""
+        metrics-derived host carry). External host policies that read
+        ``last_client_losses`` / ``last_client_accuracies`` between
+        rounds (e.g. Oort-style selection, fl_tpu.orchestration.selection)
+        see signals one round stale under pipelining — drive those loops
+        with run_round, or pass precomputed ``masks``."""
         if self.config.adaptive_clipping:
             raise ValueError(
                 "run_rounds_pipelined cannot pipeline adaptive_clipping "
