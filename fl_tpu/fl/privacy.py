@@ -169,14 +169,67 @@ def dp_noise_client_deltas(
         round_keys
     )
     if use_pallas:
-        mat, spec = stack_flatten(stacked_deltas)
-        d_valid = flat_dim(stacked_deltas)
+        # Per-leaf-GROUP epilogue (round 5): the old path flattened the
+        # whole stacked tree into one (C, D) matrix — a concat + pad +
+        # unflatten that copies the full per-client parameter set twice
+        # (~15 ms/round of pure data movement at bench shapes,
+        # docs/performance.md round-5 table). Instead: (1) the global
+        # per-client norm comes from per-leaf reductions (XLA fuses them
+        # into the delta producers); (2) each leaf whose flat width
+        # admits a zero-copy (C, 8, D/8) view runs the scale+noise
+        # kernel STANDALONE (SimpleCNN's fc1 — 95% of the bytes — does);
+        # (3) the remaining small leaves are concatenated (a copy of a
+        # few per-mille of the tree) and padded to the default chunk.
+        # Noise independence across groups: each group folds its index
+        # into the per-client DP_NOISE key before the int32 seed is
+        # extracted, so no (seed + tile) stream is ever reused.
+        def apply_noise(tree, nkeys_in):
+            leaves, treedef = jax.tree.flatten(tree)
+            C = leaves[0].shape[0]
+            flats = [l.reshape(C, -1).astype(jnp.float32) for l in leaves]
+            sq = None
+            for f in flats:
+                part = jnp.sum(f * f, axis=1)
+                sq = part if sq is None else sq + part
+            norms = jnp.sqrt(sq)
+            scale = jnp.minimum(1.0, max_norm / jnp.maximum(norms, 1e-12))
+            sens = jnp.minimum(norms, max_norm)
+            sigma = sens * dp_kernels.gaussian_factor(epsilon, delta)
 
-        def kernel(mat_blk, keys_blk):
-            return dp_kernels.clip_noise_matrix(
-                mat_blk, keys_blk, epsilon, delta, max_norm,
-                d_valid=d_valid, use_pallas=True, interpret=interpret,
-            )
+            big = [i for i, f in enumerate(flats)
+                   if dp_kernels.leaf_chunk(f.shape[1]) is not None]
+            rest = [i for i in range(len(flats)) if i not in big]
+
+            def seeds_for(gi):
+                gkeys = jax.vmap(
+                    lambda k: jax.random.fold_in(k, gi))(nkeys_in)
+                data = jax.random.key_data(gkeys).astype(jnp.uint32)
+                return (data[:, 0] ^ data[:, -1]).astype(jnp.int32)
+
+            noisy = [None] * len(flats)
+            for gi, i in enumerate(big):
+                f = flats[i]
+                noisy[i] = dp_kernels._clip_noise_pallas(
+                    f, scale, sigma, seeds_for(gi), interpret=interpret,
+                    chunk=dp_kernels.leaf_chunk(f.shape[1]))
+            if rest:
+                cat = jnp.concatenate([flats[i] for i in rest], axis=1)
+                d = cat.shape[1]
+                pad = (-d) % dp_kernels.TILE
+                if pad:
+                    cat = jnp.pad(cat, ((0, 0), (0, pad)))
+                out = dp_kernels._clip_noise_pallas(
+                    cat, scale, sigma, seeds_for(len(big)),
+                    interpret=interpret)[:, :d]
+                off = 0
+                for i in rest:
+                    w = flats[i].shape[1]
+                    noisy[i] = jax.lax.dynamic_slice_in_dim(
+                        out, off, w, axis=1)
+                    off += w
+            rebuilt = [n.reshape(l.shape).astype(l.dtype)
+                       for n, l in zip(noisy, leaves)]
+            return (jax.tree.unflatten(treedef, rebuilt), sens, sigma)
 
         if mesh is not None:
             from jax.sharding import PartitionSpec as P
@@ -187,14 +240,13 @@ def dp_noise_client_deltas(
             spec_c = P(axis)
             # check_vma=False: pallas_call's out_shape carries no
             # varying-mesh-axes annotation, which the checker requires
-            kernel = jax.shard_map(
-                kernel, mesh=mesh,
+            apply_noise = jax.shard_map(
+                apply_noise, mesh=mesh,
                 in_specs=(spec_c, spec_c),
                 out_specs=(spec_c, spec_c, spec_c),
                 check_vma=False,
             )
-        noisy_mat, sens, sigma = kernel(mat, nkeys)
-        return stack_unflatten(noisy_mat, spec), sens, sigma
+        return apply_noise(stacked_deltas, nkeys)
 
     def one(delta_tree, nkey):
         return clip_and_noise_tree(delta_tree, nkey, epsilon, delta, max_norm)

@@ -88,19 +88,37 @@ def _program_id(axis: int):
 
 BLOCK_ROWS = 8  # f32 sublane multiple
 TILE = BLOCK_ROWS * CHUNK  # elements per kernel program
+MAX_LEAF_CHUNK = 65536  # lane-width cap: (1, 8, chunk) f32 block <= 2 MB VMEM
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _clip_noise_pallas(x, scale, sigma, seeds, *, interpret: bool = False):
-    """x: (C, D) f32 with D % TILE == 0; scale/sigma: (C,) f32;
-    seeds: (C,) int32."""
+def leaf_chunk(D: int):
+    """Zero-copy chunk width for a standalone (C, D) leaf, or None.
+
+    D//BLOCK_ROWS must be a lane multiple (the (C, 8, D/8) view is then a
+    free reshape) and small enough for one VMEM block. SimpleCNN's fc1
+    kernel (D = 3136·128 = 401408) gives chunk = 50176 — the 822 MB leaf
+    is processed with ZERO flatten/pad/unflatten copies."""
+    if D % (BLOCK_ROWS * 128) == 0 and D // BLOCK_ROWS <= MAX_LEAF_CHUNK:
+        return D // BLOCK_ROWS
+    return None
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "chunk"))
+def _clip_noise_pallas(x, scale, sigma, seeds, *, interpret: bool = False,
+                       chunk: int = CHUNK):
+    """x: (C, D) f32 with D % (BLOCK_ROWS·chunk) == 0; scale/sigma: (C,)
+    f32; seeds: (C,) int32. ``chunk`` is the per-program lane width —
+    callers with a leaf whose D/BLOCK_ROWS is a lane multiple pass
+    chunk=D//BLOCK_ROWS so the (C, 8, chunk) view is a zero-copy
+    reshape (the per-leaf DP epilogue, fl_tpu.fl.privacy)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     C, D = x.shape
-    assert D % TILE == 0, f"D={D} must be a multiple of {TILE}"
-    rows = D // CHUNK
-    x3 = x.reshape(C, rows, CHUNK)
+    assert D % (BLOCK_ROWS * chunk) == 0, \
+        f"D={D} must be a multiple of {BLOCK_ROWS * chunk}"
+    rows = D // chunk
+    x3 = x.reshape(C, rows, chunk)
     # the generic pallas interpreter lacks TPU PRNG primitives; use the
     # TPU-semantics interpreter for CPU testing
     interp = pltpu.InterpretParams() if interpret else False
@@ -108,16 +126,16 @@ def _clip_noise_pallas(x, scale, sigma, seeds, *, interpret: bool = False):
         num_scalar_prefetch=3,  # seeds, scales, sigmas as (C,) SMEM arrays
         grid=(C, rows // BLOCK_ROWS),
         in_specs=[
-            pl.BlockSpec((1, BLOCK_ROWS, CHUNK), lambda c, j, *_: (c, j, 0),
+            pl.BlockSpec((1, BLOCK_ROWS, chunk), lambda c, j, *_: (c, j, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, BLOCK_ROWS, CHUNK),
+        out_specs=pl.BlockSpec((1, BLOCK_ROWS, chunk),
                                lambda c, j, *_: (c, j, 0),
                                memory_space=pltpu.VMEM),
     )
     out = pl.pallas_call(
         _clip_noise_kernel,
-        out_shape=jax.ShapeDtypeStruct((C, rows, CHUNK), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((C, rows, chunk), jnp.float32),
         grid_spec=grid_spec,
         interpret=interp,
     )(seeds.astype(jnp.int32),
