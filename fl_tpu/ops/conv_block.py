@@ -144,6 +144,18 @@ def _preshift3(src):
     return (src, _up(src, 1), _up(src, 2))
 
 
+def _cat_patches_into_direct(ref, src, shifts, M, ci):
+    """_cat_patches_into from ONE halo buffer via (misaligned) tap
+    slices — round-5 follow-up: the pre-shifted copies were introduced
+    when slice misalignment was the suspected cost; the packed-K result
+    proved the kernels MXU-bound, so the three materialized copies per
+    buffer are pure overhead. Reading the nine slices directly is
+    value-identical."""
+    for k, sft in enumerate(shifts):
+        ref[:, k * ci:(k + 1) * ci] = src[sft:sft + M, :]
+    return ref[:]
+
+
 def _cat_patches_into(ref, srcs, Wp, M, ci):
     """Write the (M, 9·ci) im2col patch plane into a VMEM scratch from
     the three pre-shifted halo copies (column block k = tap k). A plain
@@ -649,8 +661,8 @@ def _fwd_kernel_res(dims, xsp_ref, w1_ref, b1_ref, w2_ref, b2_ref,
         jnp.maximum(y1[:, 2 * C1:3 * C1], y1[:, 3 * C1:4 * C1]))
     valid = _row_valid_mask(M, Bc, Hp, Wp, H, W)
     x2 = x2 * valid.astype(cdt)
-    x2p = _cat_patches_into(
-        x2p_scr, _preshift3(_halo(x2_halo, x2, Wp + 1, M)), Wp, M, C1)
+    x2p = _cat_patches_into_direct(
+        x2p_scr, _halo(x2_halo, x2, Wp + 1, M), shifts, M, C1)
     y2 = jnp.dot(x2p, w2_ref[:],
                  preferred_element_type=jnp.float32) + b2_ref[:]
     a2 = jnp.maximum(y2, 0.0).astype(cdt)
@@ -695,8 +707,8 @@ def _bwd_kernel_res(dims, g_ref, idx_ref, xsp_ref, w1_ref, b1_ref,
         jnp.maximum(y1[:, 2 * C1:3 * C1], y1[:, 3 * C1:4 * C1]))
     valid = _row_valid_mask(M, Bc, Hp, Wp, H, W)
     x2 = x2 * valid.astype(cdt)
-    x2p = _cat_patches_into(
-        x2p_scr, _preshift3(_halo(x2_halo, x2, Wp + 1, M)), Wp, M, C1)
+    x2p = _cat_patches_into_direct(
+        x2p_scr, _halo(x2_halo, x2, Wp + 1, M), shifts, M, C1)
 
     # --- pool2 backward: route by the stored first-match index ----------
     g_at = _upsample2x2(g_ref[:].astype(f32), Bc, Hp, Wp)
@@ -712,21 +724,22 @@ def _bwd_kernel_res(dims, g_ref, idx_ref, xsp_ref, w1_ref, b1_ref,
     dz2c = dz2.astype(cdt)
     dw2 = jax.lax.dot_general(x2p, dz2c, (((0,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32)
-    dz3 = _preshift3(_halo(dz_halo, dz2c, smax - Wp - 1, M))
-    dx2 = _conv_taps_pre(dz3, Wp, w2f_ref, C2, M, rev=True)
+    dzh = _halo(dz_halo, dz2c, smax - Wp - 1, M)
+    dx2 = _conv_taps(dzh, tuple(smax - sft for sft in shifts),
+                     w2f_ref, C2, M)
     dx2 = dx2 * valid
 
     # --- stem backward: route by group argmax of the recomputed y1 ------
     g0, g1 = y1[:, 0 * C1:1 * C1], y1[:, 1 * C1:2 * C1]
     g2, g3 = y1[:, 2 * C1:3 * C1], y1[:, 3 * C1:4 * C1]
     _, (f0, f1, f2, f3) = _pool_argmax_first(g0, g1, g2, g3)
-
-    def _pos_mask(t):
-        return jnp.where(t.astype(f32) > 0.0, 1.0, 0.0)
-
+    # relu1' folds into dx2 ONCE: the selected group's pre-pool value at
+    # this lattice position IS x2 (the group max), so relu'(y1_sel) =
+    # (x2 > 0) — one mask instead of four per-group ones. Exact: f_k = 0
+    # wherever group k is not selected.
+    dx2 = dx2 * jnp.where(x2.astype(f32) > 0.0, 1.0, 0.0)
     dz1 = jnp.concatenate(
-        [dx2 * f0 * _pos_mask(g0), dx2 * f1 * _pos_mask(g1),
-         dx2 * f2 * _pos_mask(g2), dx2 * f3 * _pos_mask(g3)], axis=1)
+        [dx2 * f0, dx2 * f1, dx2 * f2, dx2 * f3], axis=1)
     db1 = jnp.sum(dz1, axis=0, keepdims=True)
     dw1 = jax.lax.dot_general(xsp_ref[:], dz1.astype(cdt),
                               (((0,), (0,)), ((), ())),
